@@ -1,0 +1,61 @@
+"""clrs_tpu — a TPU-native clustered low-rank SDP solver.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+Julia solver `nanleij/Clustered-Low-Rank-SDP-solver` (MPMP.jl): a primal-dual
+XZ predictor-corrector interior-point method for clustered low-rank SDPs (the
+SDPB problem class generalized to multivariate polynomial matrix programs),
+in extended precision.
+
+Layers (bottom-up):
+  ops/       extended-precision (float-expansion) arithmetic + linear algebra
+  core/      block metadata, state containers, the IPM solver
+  models/    problem front-end: polynomial bases, sample points, prepareabc,
+             the MPMP -> SDP compiler   (reference: MPMP.jl:22-200, 225-407)
+  parallel/  device mesh / cluster sharding / collectives
+  utils/     config, logging, checkpointing
+  apps/      applications (sphere packing, Delsarte bounds) + SDPB export
+
+Public API mirrors the reference's exported surface (MPMP.jl:19):
+  solvempmp, solverank1sdp, get_block_info, prepareabc, laguerrebasis
+"""
+
+import jax as _jax
+
+# Extended precision requires IEEE float64 limbs on CPU; on TPU the f32-limb
+# backend is used by the kernels that need it. x64 must be enabled before any
+# array is created.
+_jax.config.update("jax_enable_x64", True)
+
+from clrs_tpu.ops.xfloat import XF  # noqa: E402
+
+# Layers above ops are imported lazily-tolerantly while the framework is
+# built out bottom-up; all are present in the final API.
+try:  # noqa: SIM105
+    from clrs_tpu.core.blockinfo import BlockInfo, get_block_info  # noqa: E402
+    from clrs_tpu.core.solver import solverank1sdp, SolverConfig  # noqa: E402
+    from clrs_tpu.models.bases import (  # noqa: E402
+        laguerrebasis,
+        jacobi_basis,
+        gegenbauer_basis,
+        make_monomial_basis,
+    )
+    from clrs_tpu.models.prepare import prepareabc  # noqa: E402
+    from clrs_tpu.models.mpmp import solvempmp  # noqa: E402
+except ImportError:  # pragma: no cover - only during bootstrap
+    pass
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "XF",
+    "BlockInfo",
+    "get_block_info",
+    "solverank1sdp",
+    "SolverConfig",
+    "solvempmp",
+    "prepareabc",
+    "laguerrebasis",
+    "jacobi_basis",
+    "gegenbauer_basis",
+    "make_monomial_basis",
+]

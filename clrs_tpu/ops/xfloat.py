@@ -1,0 +1,604 @@
+"""Extended-precision float-expansion arithmetic for JAX (TPU-first).
+
+An ``XF`` value is an unevaluated sum of K floating-point "limbs"
+x = l_0 + l_1 + ... + l_{K-1}, with |l_{i+1}| <~ ulp(|l_i|) (nonoverlapping,
+decreasing).  K=1 is plain float, K=2 is double-double (~106-bit significand
+with f64 limbs), K=4 is quad-double (~212 bits).  All operations are built
+from error-free transforms (TwoSum / Fast2Sum / TwoProd with Dekker
+splitting) and are elementwise-vectorized: an XF wraps a single stacked
+array of shape (K, *shape), so arbitrary tensor shapes, vmap, scan and jit
+all work transparently.
+
+This layer replaces the reference solver's Arb/MPFR ball-arithmetic kernel
+set (reference: MPMP.jl:5-17 imports; §2.9 of SURVEY.md — approx_mul!,
+add!/sub!/mul!/div!, addmul!, abs!/max!/min!, get_mid! etc.).  Ball error
+bounds are not tracked — the reference strips them anyway after every hot op
+via Arblib.get_mid! (13 call sites, e.g. MPMP.jl:883, 1119), so its effective
+model is fixed-precision approximate arithmetic, which is exactly what an
+expansion provides.
+
+Algorithms follow the QD library (Hida-Li-Bailey) for K=2 and the CAMPARY
+generalization (Joldes-Muller-Popescu) for K>2: renormalization is
+VecSum + VecSumErrBranch, with the data-dependent branch realized as
+elementwise selects (one-hot writes) so everything stays SIMD.
+
+Notes on dtypes: with float64 limbs this is exact on CPU.  The TPU backend
+emulates f64 (non-IEEE), so TPU kernels use float32 limbs (f32 is native and
+correctly rounded on the VPU); K doubles to reach the same precision.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = Any
+
+# ---------------------------------------------------------------------------
+# Error-free transforms
+# ---------------------------------------------------------------------------
+
+
+def two_sum(a: Array, b: Array):
+    """s + e == a + b exactly, s = fl(a+b).  (Knuth, 6 flops.)"""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a: Array, b: Array):
+    """s + e == a + b exactly, assuming |a| >= |b|.  (Dekker, 3 flops.)"""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split_const(dtype) -> float:
+    # 2^ceil(p/2) + 1 : 2^27+1 for f64 (p=53), 2^12+1 for f32 (p=24)
+    if dtype == jnp.float64:
+        return 134217729.0
+    if dtype == jnp.float32:
+        return 4097.0
+    raise ValueError(f"unsupported limb dtype {dtype}")
+
+
+def split(a: Array):
+    """a == hi + lo with hi, lo having ~p/2-bit significands (Dekker)."""
+    c = jnp.asarray(_split_const(a.dtype), dtype=a.dtype)
+    t = c * a
+    hi = t - (t - a)
+    lo = a - hi
+    return hi, lo
+
+
+def two_prod(a: Array, b: Array):
+    """p + e == a * b exactly, p = fl(a*b).  (Dekker splitting, ~17 flops.)"""
+    p = a * b
+    ahi, alo = split(a)
+    bhi, blo = split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# Renormalization
+# ---------------------------------------------------------------------------
+
+
+def _vec_sum(terms):
+    """Exact transform: returns same-sum list with leading approx first.
+
+    VecSum of Ogita-Rump-Oishi / CAMPARY: chain of two_sums from the last
+    term up.  terms[0] of the result is fl(sum of inputs).
+    """
+    n = len(terms)
+    out = [None] * n
+    s = terms[n - 1]
+    for i in range(n - 2, -1, -1):
+        s, e = two_sum(terms[i], s)
+        out[i + 1] = e
+    out[0] = s
+    return out
+
+
+def _vec_sum_err_branch(terms, k: int):
+    """Compress a VecSum output into k nonoverlapping limbs.
+
+    CAMPARY's VecSumErrBranch with the data-dependent output index j
+    realized as one-hot selects, so it vectorizes elementwise.
+    """
+    n = len(terms)
+    zero = jnp.zeros_like(terms[0])
+    out = [zero] * k
+    j = jnp.zeros(terms[0].shape, dtype=jnp.int32)
+    eps = terms[0]
+    for i in range(n - 1):
+        r, new_eps = two_sum(eps, terms[i + 1])
+        advance = new_eps != 0.0
+        # out[j] = r where advancing; otherwise keep accumulating into eps
+        for slot in range(k):
+            out[slot] = jnp.where(advance & (j == slot), r, out[slot])
+        eps = jnp.where(advance, new_eps, r)
+        j = jnp.where(advance & (j < k), j + 1, j)
+    for slot in range(k):
+        out[slot] = jnp.where(j == slot, eps, out[slot])
+    return out
+
+
+def _renorm(terms, k: int):
+    """Exact-sum compression of arbitrary terms into k limbs.
+
+    Two VecSum passes handle unordered inputs (each pass is exact); the
+    branch pass then extracts nonoverlapping limbs.
+    """
+    terms = [t for t in terms]
+    if len(terms) == 1:
+        return terms + [jnp.zeros_like(terms[0])] * (k - 1)
+    terms = _vec_sum(terms)
+    terms = _vec_sum(terms)
+    out = _vec_sum_err_branch(terms, k)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The XF type
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class XF:
+    """K-limb float expansion over a stacked array of shape (K, *shape)."""
+
+    __slots__ = ("limbs",)
+
+    def __init__(self, limbs: Array):
+        self.limbs = limbs
+
+    # -- pytree protocol --
+    def tree_flatten(self):
+        return (self.limbs,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    # -- metadata --
+    @property
+    def k(self) -> int:
+        return self.limbs.shape[0]
+
+    @property
+    def shape(self):
+        return self.limbs.shape[1:]
+
+    @property
+    def ndim(self) -> int:
+        return self.limbs.ndim - 1
+
+    @property
+    def dtype(self):
+        return self.limbs.dtype
+
+    def __len__(self):
+        return self.shape[0]
+
+    # -- construction --
+    @staticmethod
+    def from_limb_list(limbs: Sequence[Array]) -> "XF":
+        return XF(jnp.stack([jnp.asarray(l) for l in limbs], axis=0))
+
+    @property
+    def limb_list(self):
+        return [self.limbs[i] for i in range(self.k)]
+
+    @staticmethod
+    def zeros(shape=(), k: int = 2, dtype=jnp.float64) -> "XF":
+        return XF(jnp.zeros((k,) + tuple(shape), dtype=dtype))
+
+    @staticmethod
+    def ones(shape=(), k: int = 2, dtype=jnp.float64) -> "XF":
+        limbs = jnp.zeros((k,) + tuple(shape), dtype=dtype)
+        return XF(limbs.at[0].set(1.0))
+
+    @staticmethod
+    def eye(n: int, k: int = 2, dtype=jnp.float64) -> "XF":
+        limbs = jnp.zeros((k, n, n), dtype=dtype)
+        return XF(limbs.at[0].set(jnp.eye(n, dtype=dtype)))
+
+    @staticmethod
+    def from_float(x, k: int = 2, dtype=jnp.float64, shape=()) -> "XF":
+        """Lift a float/array (already exactly representable) to XF."""
+        x = jnp.broadcast_to(jnp.asarray(x, dtype=dtype), shape) if shape else jnp.asarray(x, dtype=dtype)
+        limbs = jnp.zeros((k,) + x.shape, dtype=dtype)
+        return XF(limbs.at[0].set(x))
+
+    # -- conversion --
+    def to_float(self) -> Array:
+        """Round to a single limb (the leading limb is fl(value))."""
+        return self.limbs[0]
+
+    def to_float64(self) -> Array:
+        if self.dtype == jnp.float64 or self.k == 1:
+            return self.limbs[0].astype(jnp.float64)
+        # f32 limbs: sum the first few limbs in f64
+        acc = self.limbs[0].astype(jnp.float64)
+        for i in range(1, min(self.k, 3)):
+            acc = acc + self.limbs[i].astype(jnp.float64)
+        return acc
+
+    # -- indexing --
+    def __getitem__(self, idx) -> "XF":
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return XF(self.limbs[(slice(None),) + idx])
+
+    def at_set(self, idx, value: "XF") -> "XF":
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return XF(self.limbs.at[(slice(None),) + idx].set(value.limbs))
+
+    def at_add(self, idx, value: "XF") -> "XF":
+        cur = self[idx]
+        return self.at_set(idx, xf_add(cur, value))
+
+    def reshape(self, *shape) -> "XF":
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return XF(self.limbs.reshape((self.k,) + tuple(shape)))
+
+    def broadcast_to(self, shape) -> "XF":
+        return XF(jnp.broadcast_to(self.limbs, (self.k,) + tuple(shape)))
+
+    @property
+    def T(self) -> "XF":
+        return self.transpose()
+
+    def transpose(self, *axes) -> "XF":
+        if not axes:
+            axes = tuple(range(self.ndim - 1, -1, -1))
+        elif len(axes) == 1 and isinstance(axes[0], (tuple, list)):
+            axes = tuple(axes[0])
+        return XF(jnp.transpose(self.limbs, (0,) + tuple(a + 1 for a in axes)))
+
+    # -- operators --
+    def __neg__(self):
+        return XF(-self.limbs)
+
+    def __add__(self, other):
+        return xf_add(self, _lift(other, self))
+
+    def __radd__(self, other):
+        return xf_add(_lift(other, self), self)
+
+    def __sub__(self, other):
+        return xf_add(self, -_lift(other, self))
+
+    def __rsub__(self, other):
+        return xf_add(_lift(other, self), -self)
+
+    def __mul__(self, other):
+        return xf_mul(self, _lift(other, self))
+
+    def __rmul__(self, other):
+        return xf_mul(_lift(other, self), self)
+
+    def __truediv__(self, other):
+        return xf_div(self, _lift(other, self))
+
+    def __rtruediv__(self, other):
+        return xf_div(_lift(other, self), self)
+
+    def __matmul__(self, other):
+        return xf_matmul(self, other)
+
+    # -- comparisons (return bool arrays) --
+    def __lt__(self, other):
+        return xf_lt(self, _lift(other, self))
+
+    def __le__(self, other):
+        return ~xf_lt(_lift(other, self), self)
+
+    def __gt__(self, other):
+        return xf_lt(_lift(other, self), self)
+
+    def __ge__(self, other):
+        return ~xf_lt(self, _lift(other, self))
+
+    def __repr__(self):
+        return f"XF(k={self.k}, shape={self.shape}, dtype={self.dtype})"
+
+
+def _lift(x, like: XF) -> XF:
+    if isinstance(x, XF):
+        return x
+    return XF.from_float(x, k=like.k, dtype=like.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _bshape(a: XF, b: XF):
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    return shape
+
+
+def xf_add(a: XF, b: XF) -> XF:
+    k = max(a.k, b.k)
+    shape = _bshape(a, b)
+    al = [jnp.broadcast_to(x, shape) for x in a.limb_list]
+    bl = [jnp.broadcast_to(x, shape) for x in b.limb_list]
+    if k == 1:
+        return XF.from_limb_list([al[0] + bl[0]])
+    if a.k == 2 and b.k == 2:
+        return _dd_add(al, bl)
+    # generic: interleave and renormalize (exact-sum, faithful rounding)
+    terms = []
+    for i in range(max(a.k, b.k)):
+        if i < a.k:
+            terms.append(al[i])
+        if i < b.k:
+            terms.append(bl[i])
+    return XF.from_limb_list(_renorm(terms, k))
+
+
+def _dd_add(al, bl) -> XF:
+    """Accurate double-double add (QD library's ieee_add, ~20 flops)."""
+    s1, s2 = two_sum(al[0], bl[0])
+    t1, t2 = two_sum(al[1], bl[1])
+    s2 = s2 + t1
+    s1, s2 = fast_two_sum(s1, s2)
+    s2 = s2 + t2
+    hi, lo = fast_two_sum(s1, s2)
+    return XF.from_limb_list([hi, lo])
+
+
+def xf_mul(a: XF, b: XF) -> XF:
+    k = max(a.k, b.k)
+    shape = _bshape(a, b)
+    al = [jnp.broadcast_to(x, shape) for x in a.limb_list]
+    bl = [jnp.broadcast_to(x, shape) for x in b.limb_list]
+    if k == 1:
+        return XF.from_limb_list([al[0] * bl[0]])
+    if a.k == 2 and b.k == 2:
+        return _dd_mul(al, bl)
+    # generic truncated multiplication: products with order i+j < k exactly
+    # (with error terms), order i+j == k as plain products; renormalize.
+    terms = []
+    for o in range(k):  # order = i + j
+        for i in range(o + 1):
+            j = o - i
+            if i < a.k and j < b.k:
+                p, e = two_prod(al[i], bl[j])
+                terms.append(p)
+                terms.append(e)
+    o = k
+    cheap = None
+    for i in range(o + 1):
+        j = o - i
+        if i < a.k and j < b.k:
+            t = al[i] * bl[j]
+            cheap = t if cheap is None else cheap + t
+    if cheap is not None:
+        terms.append(cheap)
+    return XF.from_limb_list(_renorm(terms, k))
+
+
+def _dd_mul(al, bl) -> XF:
+    """Double-double multiply (QD library, ~25 flops)."""
+    p, e = two_prod(al[0], bl[0])
+    e = e + (al[0] * bl[1] + al[1] * bl[0])
+    hi, lo = fast_two_sum(p, e)
+    return XF.from_limb_list([hi, lo])
+
+
+def xf_div(a: XF, b: XF) -> XF:
+    k = max(a.k, b.k)
+    if k == 1:
+        shape = _bshape(a, b)
+        return XF.from_limb_list(
+            [jnp.broadcast_to(a.limbs[0], shape) / jnp.broadcast_to(b.limbs[0], shape)]
+        )
+    r = xf_reciprocal(b)
+    q = xf_mul(a, r)
+    # one refinement step: q += (a - b*q) * r
+    rres = xf_add(a, -xf_mul(b, q))
+    return xf_add(q, xf_mul(rres, r))
+
+
+def xf_reciprocal(b: XF) -> XF:
+    """Newton iteration for 1/b, doubling correct bits each step."""
+    k = b.k
+    x = XF.from_float(1.0 / b.limbs[0], k=k, dtype=b.dtype)
+    n_iter = max(1, math.ceil(math.log2(k)) + 1)
+    for _ in range(n_iter):
+        # x <- x + x*(1 - b*x)
+        e = xf_add(XF.ones(x.shape, k=k, dtype=b.dtype), -xf_mul(b, x))
+        x = xf_add(x, xf_mul(x, e))
+    return x
+
+
+def xf_sqrt(a: XF) -> XF:
+    """sqrt via Newton on rsqrt; a must be >= 0 (0 allowed)."""
+    k = a.k
+    if k == 1:
+        return XF.from_limb_list([jnp.sqrt(a.limbs[0])])
+    safe_hi = jnp.where(a.limbs[0] > 0, a.limbs[0], 1.0)
+    x = XF.from_float(1.0 / jnp.sqrt(safe_hi), k=k, dtype=a.dtype)
+    n_iter = max(1, math.ceil(math.log2(k)) + 1)
+    half = XF.from_float(0.5, k=k, dtype=a.dtype)
+    for _ in range(n_iter):
+        # x <- x + 0.5*x*(1 - a*x*x)
+        e = xf_add(XF.ones(x.shape, k=k, dtype=a.dtype), -xf_mul(a, xf_mul(x, x)))
+        x = xf_add(x, xf_mul(half, xf_mul(x, e)))
+    s = xf_mul(a, x)
+    # refinement: s += (a - s*s) * x / 2
+    e = xf_add(a, -xf_mul(s, s))
+    s = xf_add(s, xf_mul(half, xf_mul(e, x)))
+    is_zero = a.limbs[0] <= 0
+    return xf_where(is_zero, XF.zeros(s.shape, k=k, dtype=a.dtype), s)
+
+
+def xf_abs(a: XF) -> XF:
+    neg = xf_is_neg(a)
+    return xf_where(neg, -a, a)
+
+
+def xf_is_neg(a: XF) -> Array:
+    """Sign from the leading nonzero limb (limbs are nonoverlapping)."""
+    sign = jnp.zeros(a.shape, dtype=jnp.int32)
+    for i in range(a.k - 1, -1, -1):
+        l = a.limbs[i]
+        sign = jnp.where(l != 0, jnp.where(l < 0, -1, 1), sign)
+    return sign < 0
+
+
+def xf_lt(a: XF, b: XF) -> Array:
+    return xf_is_neg(xf_add(a, -b))
+
+
+def xf_where(cond: Array, a: XF, b: XF) -> XF:
+    shape = jnp.broadcast_shapes(jnp.shape(cond), a.shape, b.shape)
+    k = max(a.k, b.k)
+    al = jnp.broadcast_to(_lift(a, b).limbs, (k,) + shape)
+    bl = jnp.broadcast_to(_lift(b, a).limbs, (k,) + shape)
+    return XF(jnp.where(jnp.broadcast_to(cond, shape)[None], al, bl))
+
+
+def xf_max(a: XF, b: XF) -> XF:
+    return xf_where(xf_lt(a, b), b, a)
+
+
+def xf_min(a: XF, b: XF) -> XF:
+    return xf_where(xf_lt(a, b), a, b)
+
+
+def xf_ldexp(a: XF, e) -> XF:
+    """Exact scaling by 2^e (e int)."""
+    scale = jnp.asarray(2.0, dtype=a.dtype) ** jnp.asarray(e)
+    return XF(a.limbs * scale)
+
+
+# ---------------------------------------------------------------------------
+# Reductions and contractions
+# ---------------------------------------------------------------------------
+
+
+def xf_sum(a: XF, axis: int = -1) -> XF:
+    """Sum along an axis via a binary tree of xf_adds (log depth, accurate)."""
+    if axis < 0:
+        axis = a.ndim + axis
+    n = a.shape[axis]
+    if n == 0:
+        shape = a.shape[:axis] + a.shape[axis + 1 :]
+        return XF.zeros(shape, k=a.k, dtype=a.dtype)
+    x = a
+    laxis = axis + 1  # axis in limb space
+    while n > 1:
+        half = n // 2
+        if n % 2 == 1:
+            # fold the last element into the first
+            first = XF(jax.lax.dynamic_slice_in_dim(x.limbs, 0, 1, laxis))
+            last = XF(jax.lax.dynamic_slice_in_dim(x.limbs, n - 1, 1, laxis))
+            rest = XF(jax.lax.dynamic_slice_in_dim(x.limbs, 1, n - 2, laxis))
+            folded = xf_add(first, last)
+            x = XF(jnp.concatenate([folded.limbs, rest.limbs], axis=laxis))
+            n = n - 1
+            half = n // 2
+        lo = XF(jax.lax.dynamic_slice_in_dim(x.limbs, 0, half, laxis))
+        hi = XF(jax.lax.dynamic_slice_in_dim(x.limbs, half, half, laxis))
+        x = xf_add(lo, hi)
+        n = half
+    return XF(jnp.squeeze(x.limbs, axis=laxis))
+
+
+def xf_dot(a: XF, b: XF) -> XF:
+    """Inner product of flat vectors (or elementwise-matching tensors)."""
+    p = xf_mul(a, b)
+    p = p.reshape((-1,))
+    return xf_sum(p, axis=0)
+
+
+def xf_matmul(a: XF, b: XF, chunk: int = 0) -> XF:
+    """Matrix product in expansion arithmetic.
+
+    C[i,j] = sum_k a[i,k] b[k,j], products in full precision, tree-summed.
+    Materializes an (n, K, m) product tensor; for large problems pass
+    `chunk` to split the contraction dimension.
+
+    This replaces the reference's Arblib.approx_mul! (18 call sites,
+    e.g. MPMP.jl:1291-1311).  TODO(perf): Ozaki-scheme int8 MXU splitting.
+    """
+    assert a.ndim >= 2 and b.ndim >= 2, (a.shape, b.shape)
+    # shapes: (..., n, kk) x (..., kk, m)
+    pa = XF(a.limbs[..., :, :, None])  # (..., n, kk, 1)
+    pb = XF(b.limbs[..., None, :, :])  # (..., 1, kk, m)
+    prod = xf_mul(pa, pb)  # (..., n, kk, m)
+    return xf_sum(prod, axis=-2)
+
+
+def xf_norm_max(a: XF) -> XF:
+    """max(abs(entries)) — reference's compute_error (MPMP.jl:1044-1055)."""
+    ab = xf_abs(a)
+    flat = ab.reshape((-1,))
+    n = flat.shape[0]
+    x = flat
+    while n > 1:
+        half = n // 2
+        if n % 2 == 1:
+            first = x[0:1]
+            last = x[n - 1 : n]
+            rest = x[1 : n - 1]
+            x = XF(jnp.concatenate([xf_max(first, last).limbs, rest.limbs], axis=1))
+            n -= 1
+            half = n // 2
+        x = xf_max(x[0:half], x[half : 2 * half])
+        n = half
+    return x[0]
+
+
+# ---------------------------------------------------------------------------
+# Host conversion (mpmath interop for setup & tests)
+# ---------------------------------------------------------------------------
+
+
+def xf_from_mp(values, k: int = 2, dtype=np.float64) -> XF:
+    """Convert mpmath mpf scalars / nested lists / numpy object arrays to XF.
+
+    Rounds to the nearest K-limb expansion (each limb is the correctly
+    rounded remainder), which is how the 512-bit sampled data of the
+    reference's prepareabc (MPMP.jl:225-407) enters the solver.
+    """
+    arr = np.asarray(values, dtype=object)
+    shape = arr.shape
+    flat = arr.reshape(-1)
+    limbs = np.zeros((k, flat.size), dtype=dtype)
+    for idx, v in enumerate(flat):
+        rem = v
+        for i in range(k):
+            li = dtype(float(rem)) if dtype == np.float64 else dtype(np.float32(float(rem)))
+            limbs[i, idx] = li
+            rem = rem - float(li) if not hasattr(rem, "__sub__") else rem - float(li)
+    return XF(jnp.asarray(limbs.reshape((k,) + shape)))
+
+
+def xf_to_mp(a: XF):
+    """Convert to nested mpmath mpf (for oracles in tests)."""
+    import mpmath
+
+    limbs = np.asarray(a.limbs)
+    flat = limbs.reshape(a.k, -1)
+    out = np.empty(flat.shape[1], dtype=object)
+    for idx in range(flat.shape[1]):
+        s = mpmath.mpf(0)
+        for i in range(a.k):
+            s += mpmath.mpf(float(flat[i, idx]))
+        out[idx] = s
+    return out.reshape(a.shape)

@@ -1,0 +1,207 @@
+"""Property tests for the float-expansion arithmetic vs an mpmath oracle.
+
+SURVEY.md §4: "unit tests for every kernel against MPFR oracles" — mpmath is
+the MPFR-equivalent here.
+"""
+
+import mpmath
+import numpy as np
+import pytest
+
+from clrs_tpu.ops.xfloat import (
+    XF,
+    xf_abs,
+    xf_add,
+    xf_div,
+    xf_dot,
+    xf_from_mp,
+    xf_lt,
+    xf_matmul,
+    xf_mul,
+    xf_norm_max,
+    xf_sqrt,
+    xf_sum,
+    xf_to_mp,
+)
+
+mpmath.mp.prec = 400
+
+
+def rand_mp(rng, n, scale_range=(-20, 20)):
+    """Random mpf values with wide dynamic range (exercises renorm)."""
+    out = []
+    for _ in range(n):
+        m = mpmath.mpf(rng.standard_normal())
+        e = int(rng.integers(*scale_range))
+        extra = mpmath.mpf(rng.standard_normal()) * mpmath.mpf(2) ** (e - 40)
+        out.append(m * mpmath.mpf(2) ** e + extra)
+    return out
+
+
+def ulp_bound(k):
+    # K f64 limbs: unit roundoff ~ 2^-(53K - few bits slack)
+    return mpmath.mpf(2) ** (-(53 * k - 6))
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_roundtrip(k):
+    rng = np.random.default_rng(0)
+    vals = rand_mp(rng, 64)
+    x = xf_from_mp(vals, k=k)
+    back = xf_to_mp(x)
+    for v, b in zip(vals, back):
+        assert abs(b - v) <= abs(v) * ulp_bound(k) * 2 + mpmath.mpf(2) ** -1070
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "div"])
+def test_binary_ops(k, op):
+    rng = np.random.default_rng(hash((k, op)) % 2**32)
+    a_mp = rand_mp(rng, 256)
+    b_mp = rand_mp(rng, 256)
+    a = xf_from_mp(a_mp, k=k)
+    b = xf_from_mp(b_mp, k=k)
+    if op == "add":
+        c, ora = xf_add(a, b), [x + y for x, y in zip(a_mp, b_mp)]
+    elif op == "sub":
+        c, ora = xf_add(a, -b), [x - y for x, y in zip(a_mp, b_mp)]
+    elif op == "mul":
+        c, ora = xf_mul(a, b), [x * y for x, y in zip(a_mp, b_mp)]
+    else:
+        c, ora = xf_div(a, b), [x / y for x, y in zip(a_mp, b_mp)]
+    got = xf_to_mp(c)
+    tol = ulp_bound(k)
+    # input representation error (2 ulp) + op error (few ulp)
+    for g, o, x, y in zip(got, ora, a_mp, b_mp):
+        scale = max(abs(o), abs(x), abs(y), mpmath.mpf(2) ** -200)
+        if op == "div":
+            scale = max(abs(o), mpmath.mpf(2) ** -200) * 4
+        assert abs(g - o) <= scale * tol * 16, (g, o, abs(g - o) / scale)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_cancellation(k):
+    """(a + tiny) - a must recover tiny to full precision."""
+    a = XF.from_float(1.0, k=k)
+    tiny = xf_from_mp([mpmath.mpf(2) ** -90], k=k)[0]
+    s = xf_add(a, tiny)
+    d = xf_add(s, -a)
+    got = xf_to_mp(d)[()] if d.shape == () else xf_to_mp(d)
+    want = mpmath.mpf(2) ** -90
+    if k >= 2:
+        assert abs(got - want) <= want * ulp_bound(k) * 4
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_sqrt(k):
+    rng = np.random.default_rng(3)
+    vals = [abs(v) for v in rand_mp(rng, 128)]
+    a = xf_from_mp(vals, k=k)
+    s = xf_sqrt(a)
+    got = xf_to_mp(s)
+    for g, v in zip(got, vals):
+        o = mpmath.sqrt(v)
+        assert abs(g - o) <= o * ulp_bound(k) * 16
+
+
+def test_sqrt_zero():
+    s = xf_sqrt(XF.zeros((3,), k=2))
+    assert np.all(np.asarray(s.limbs) == 0)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_sum_ill_conditioned(k):
+    """Tree sum of a vector with huge cancellation."""
+    rng = np.random.default_rng(4)
+    base = rand_mp(rng, 100, scale_range=(-5, 5))
+    vals = base + [-v for v in base] + [mpmath.mpf(2) ** -80]
+    rng.shuffle(vals)
+    x = xf_from_mp(vals, k=k)
+    s = xf_sum(x, axis=0)
+    got = xf_to_mp(s)[()]
+    want = mpmath.fsum(vals)
+    assert abs(got - want) <= mpmath.mpf(2) ** (-53 * k + 30)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_matmul(k):
+    rng = np.random.default_rng(5)
+    n, m, p = 9, 7, 11
+    A_mp = np.array(rand_mp(rng, n * m)).reshape(n, m)
+    B_mp = np.array(rand_mp(rng, m * p)).reshape(m, p)
+    A = xf_from_mp(A_mp, k=k)
+    B = xf_from_mp(B_mp, k=k)
+    C = xf_matmul(A, B)
+    got = xf_to_mp(C)
+    want = A_mp @ B_mp
+    scale = max(abs(v) for v in np.asarray(want).ravel())
+    for g, w in zip(np.asarray(got).ravel(), np.asarray(want).ravel()):
+        assert abs(g - w) <= scale * ulp_bound(k) * m * 8
+
+
+def test_dot():
+    rng = np.random.default_rng(6)
+    a_mp = rand_mp(rng, 97)
+    b_mp = rand_mp(rng, 97)
+    a = xf_from_mp(a_mp, k=2)
+    b = xf_from_mp(b_mp, k=2)
+    d = xf_dot(a, b)
+    want = mpmath.fsum([x * y for x, y in zip(a_mp, b_mp)])
+    got = xf_to_mp(d)[()]
+    scale = mpmath.fsum([abs(x * y) for x, y in zip(a_mp, b_mp)])
+    assert abs(got - want) <= scale * ulp_bound(2) * 64
+
+
+def test_compare_and_abs():
+    rng = np.random.default_rng(7)
+    a_mp = rand_mp(rng, 64)
+    b_mp = rand_mp(rng, 64)
+    a = xf_from_mp(a_mp, k=2)
+    b = xf_from_mp(b_mp, k=2)
+    lt = np.asarray(xf_lt(a, b))
+    for i in range(64):
+        assert bool(lt[i]) == (a_mp[i] < b_mp[i])
+    ab = xf_to_mp(xf_abs(a))
+    for g, v in zip(ab, a_mp):
+        assert g == abs(v) or abs(g - abs(v)) <= abs(v) * ulp_bound(2) * 2
+
+
+def test_tiny_differences_compare():
+    """Comparison must resolve differences far below f64 ulp."""
+    a = xf_from_mp([mpmath.mpf(1) + mpmath.mpf(2) ** -80], k=2)
+    b = xf_from_mp([mpmath.mpf(1)], k=2)
+    assert bool(np.asarray(xf_lt(b, a))[0])
+    assert not bool(np.asarray(xf_lt(a, b))[0])
+
+
+def test_norm_max():
+    rng = np.random.default_rng(8)
+    vals = rand_mp(rng, 37)
+    x = xf_from_mp(vals, k=2).reshape((37, 1))
+    m = xf_norm_max(x)
+    want = max(abs(v) for v in vals)
+    got = xf_to_mp(m)[()]
+    assert abs(got - want) <= want * ulp_bound(2) * 4
+
+
+def test_jit_and_vmap():
+    import jax
+
+    rng = np.random.default_rng(9)
+    a = xf_from_mp(rand_mp(rng, 32), k=2)
+    b = xf_from_mp(rand_mp(rng, 32), k=2)
+
+    f = jax.jit(lambda x, y: xf_mul(x, y))
+    c1 = f(a, b)
+    # jit may contract a*b-p into fma (exact), changing error terms bitwise
+    # but not the represented value: compare against the oracle instead.
+    got = xf_to_mp(c1)
+    a_mp, b_mp = xf_to_mp(a), xf_to_mp(b)
+    for g, x, y in zip(got, a_mp, b_mp):
+        o = x * y
+        assert abs(g - o) <= abs(o) * ulp_bound(2) * 8
+
+    A = xf_from_mp(np.array(rand_mp(rng, 24)).reshape(4, 6), k=2)
+    g = jax.vmap(lambda row: xf_sum(row, axis=0))
+    s = g(A)
+    assert s.shape == (4,)
