@@ -19,6 +19,19 @@ Public API mirrors the reference's exported surface (MPMP.jl:19):
   solvempmp, solverank1sdp, get_block_info, prepareabc, laguerrebasis
 """
 
+import os as _os
+
+# XLA:CPU's fusion emitters apply value-changing codegen (fma contraction /
+# reassociation) inside fused loops, which silently breaks the error-free
+# transforms the extended-precision layer is built on.  Must be set before
+# the XLA backend initializes.  (Found empirically: a double-double Cholesky
+# loses its low limbs at fusion boundaries; disabling fusion emitters — or
+# the fusion pass — restores exactness.)
+if "--xla_cpu_use_fusion_emitters" not in _os.environ.get("XLA_FLAGS", ""):
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "") + " --xla_cpu_use_fusion_emitters=false"
+    ).strip()
+
 import jax as _jax
 
 # Extended precision requires IEEE float64 limbs on CPU; on TPU the f32-limb

@@ -1,0 +1,169 @@
+"""Device-side numerical problem data for the clustered low-rank SDP.
+
+The reference stores, per cluster j (its `constraints[j] = (A, B, c, H)`,
+MPMP.jl:401-406):
+  A[l,k][rnk]  low-rank vectors v (ArbMatrix δx1)
+  H[l,k][rnk]  signed weights (A_sign)
+  B            dense (dim_S, n_y)
+  c            (dim_S, 1)
+with the constraint matrices A_(j,r,s,k) = sum_rnk H * Sym(E_rs ⊗ v v^T).
+
+Here the ragged [l,k][rnk] nesting becomes, per (j, l), two padded XF
+tensors:
+  V: (delta, T)  columns = vectors, T = n_samples * rmax, column index
+                 t = k * rmax + rnk
+  H: (T,)        weights, 0.0 in padding slots (exact no-op in all formulas)
+plus XF B (dim_S, n_y) and c (dim_S, 1).  Everything is a pytree; BlockInfo
+carries the static shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clrs_tpu.core.blockinfo import BlockInfo, get_block_info
+from clrs_tpu.ops.xfloat import XF, xf_from_mp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ClusterData:
+    """Numerical data of one constraint cluster (pytree)."""
+
+    Vs: Tuple[XF, ...]  # per l: (delta_l, K*rmax_l)
+    Hs: Tuple[XF, ...]  # per l: (K*rmax_l,)
+    B: XF  # (dim_S, n_y)
+    c: XF  # (dim_S, 1)
+
+    def tree_flatten(self):
+        return (self.Vs, self.Hs, self.B, self.c), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SDPProblem:
+    """The full clustered SDP: clusters + objective.  Pytree with static
+    BlockInfo aux data."""
+
+    clusters: Tuple[ClusterData, ...]
+    b: XF  # (n_y, 1) objective vector
+    C_blocks: Optional[Any]  # block-diag cost matrix or None (AbsoluteZero)
+    b0: XF  # scalar constant objective offset
+    info: BlockInfo
+
+    def tree_flatten(self):
+        return (self.clusters, self.b, self.C_blocks, self.b0), self.info
+
+    @classmethod
+    def tree_unflatten(cls, info, children):
+        return cls(children[0], children[1], children[2], children[3], info)
+
+
+def pack_constraints(
+    constraints: Sequence,
+    b,
+    info: Optional[BlockInfo] = None,
+    C=None,
+    b0=0,
+    k: int = 2,
+    dtype=np.float64,
+) -> SDPProblem:
+    """Pack reference-format constraint tuples (A, B, c, H) into an
+    SDPProblem.  Inputs may be mpmath scalars, floats or numpy arrays.
+
+    This is the bridge between the host front-end (prepareabc) and the
+    device solver — the analogue of the reference passing `abc` into
+    solverank1sdp (MPMP.jl:585).
+    """
+    if info is None:
+        info = get_block_info(constraints)
+    clusters = []
+    for j in range(info.J):
+        A, B, c, H = constraints[j][:4]
+        Vs, Hs = [], []
+        for l in range(info.L[j]):
+            K = info.n_samples[j]
+            rmax = info.rmax[j][l]
+            delta = info.delta[j][l]
+            Vmat = np.zeros((delta, K * rmax), dtype=object)
+            Hvec = np.zeros((K * rmax,), dtype=object)
+            Vmat[...] = 0
+            Hvec[...] = 0
+            for kk in range(K):
+                vecs = A[l][kk]
+                ws = H[l][kk]
+                assert len(vecs) <= rmax
+                for rnk in range(len(vecs)):
+                    col = np.asarray(vecs[rnk], dtype=object).reshape(-1)
+                    assert col.shape[0] == delta, (col.shape, delta)
+                    Vmat[:, kk * rmax + rnk] = col
+                    Hvec[kk * rmax + rnk] = ws[rnk]
+            Vs.append(xf_from_mp(Vmat, k=k, dtype=dtype))
+            Hs.append(xf_from_mp(Hvec, k=k, dtype=dtype))
+        Bx = xf_from_mp(np.asarray(B, dtype=object), k=k, dtype=dtype)
+        cx = xf_from_mp(np.asarray(c, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
+        clusters.append(ClusterData(tuple(Vs), tuple(Hs), Bx, cx))
+    bx = xf_from_mp(np.asarray(b, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
+    assert bx.shape[0] == info.n_y, (bx.shape, info.n_y)
+    C_blocks = None
+    if C is not None and not (np.isscalar(C) and C == 0):
+        C_blocks = [
+            [xf_from_mp(np.asarray(Cb, dtype=object), k=k, dtype=dtype) for Cb in Cj]
+            for Cj in C
+        ]
+    b0x = xf_from_mp(np.asarray(b0, dtype=object).reshape(()), k=k, dtype=dtype)
+    return SDPProblem(tuple(clusters), bx, C_blocks, b0x, info)
+
+
+# ---------------------------------------------------------------------------
+# Block-diagonal state helpers (the reference's
+# BlockDiagonal{BlockDiagonal{ArbMatrix}}, MPMP.jl:662-686, as nested lists)
+# ---------------------------------------------------------------------------
+
+BlockDiag = List[List[XF]]
+
+
+def bd_map(f, *bds) -> BlockDiag:
+    return [
+        [f(*(bd[j][l] for bd in bds)) for l in range(len(bds[0][j]))]
+        for j in range(len(bds[0]))
+    ]
+
+
+def bd_scalar_identity(info: BlockInfo, scale, k: int = 2, dtype=jnp.float64) -> BlockDiag:
+    """scale * I per block — the cold start X = Omega_p I (MPMP.jl:661-686)."""
+    out = []
+    for j in range(info.J):
+        row = []
+        for l in range(info.L[j]):
+            n = info.Y_blocksizes[j][l]
+            eye = XF.eye(n, k=k, dtype=dtype)
+            row.append(XF(eye.limbs * scale))
+        out.append(row)
+    return out
+
+
+def bd_zeros_like(bd: BlockDiag) -> BlockDiag:
+    return bd_map(lambda b: XF(jnp.zeros_like(b.limbs)), bd)
+
+
+def bd_dot(a: BlockDiag, b: BlockDiag) -> XF:
+    """<A, B> = sum of elementwise products over all blocks
+    (reference's LinearAlgebra.dot extension, MPMP.jl:205-220)."""
+    from clrs_tpu.ops.xfloat import xf_add, xf_dot
+
+    total = None
+    for aj, bj in zip(a, b):
+        for al, bl in zip(aj, bj):
+            d = xf_dot(al, bl)
+            total = d if total is None else xf_add(total, d)
+    return total

@@ -1,0 +1,720 @@
+"""The clustered low-rank SDP interior-point solver (XZ predictor-corrector).
+
+TPU-native re-derivation of the reference's `solverank1sdp`
+(MPMP.jl:595-1025).  The entire iteration body — residuals, bilinear
+pairings, Schur assembly, factorization, predictor and corrector search
+directions, step lengths, and variable update — is one jitted program over
+extended-precision (XF) block-diagonal pytrees; the host boundary is only
+the convergence check and the iteration log, matching the structure the
+reference gets from Julia threads but with XLA doing the fusion and batching.
+
+Algorithm (comments MPMP.jl:642-657):
+  1. init (x, X, y, Y) = (0, Omega_p I, 0, Omega_d I), or warm start
+  2. residuals P = sum_i A_i x_i - X - C, p = b - B^T x, d = c - Tr(A_* Y) - By
+  3. mu = <X, Y>/K; mu_p = 0 if pd-feasible else beta_infeasible * mu
+  4. predictor direction with R = mu_p I - XY
+  5. corrector factor beta_c from r = <X+dX, Y+dY>/(mu K)
+  6. corrector direction with R = mu_c I - XY - dX dY
+  7. step lengths alpha = min(1, -gamma/lambda_min(L^-1 dM L^-T))
+  8. x += a_p dx, X += a_p dX, y += a_d dy, Y += a_d dY
+  until duality gap < 1e-15 and feasibility errors < 1e-30 (defaults from
+  the SDPB paper / SDPA-GMP "slow but stable", MPMP.jl:599-615).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clrs_tpu.core.blockinfo import BlockInfo
+from clrs_tpu.core.kernels import (
+    compute_pairings,
+    pairing_diag,
+    schur_block_contribution,
+    trace_A_from_diag,
+    trace_A_generic,
+    weighted_A_block,
+)
+from clrs_tpu.core.problem import (
+    SDPProblem,
+    bd_dot,
+    bd_map,
+    bd_scalar_identity,
+)
+from clrs_tpu.ops.linalg import (
+    xf_cholesky,
+    xf_inverse_lu,
+    xf_lu,
+    xf_lu_solve,
+    xf_min_eig_sym,
+    xf_solve_tril,
+    xf_solve_triu,
+    xf_spd_inverse,
+    xf_sym,
+)
+from clrs_tpu.ops.xfloat import (
+    XF,
+    xf_abs,
+    xf_add,
+    xf_div,
+    xf_matmul,
+    xf_max,
+    xf_mul,
+    xf_norm_max,
+    xf_sum,
+    xf_where,
+)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Solver options; defaults mirror the reference kwargs (MPMP.jl:599-615)."""
+
+    maxiterations: int = 500
+    beta_infeasible: float = 0.3
+    beta_feasible: float = 0.1
+    gamma: float = 0.7
+    omega_p: float = 1e10
+    omega_d: float = 1e10
+    duality_gap_threshold: float = 1e-15
+    primal_error_threshold: float = 1e-30
+    dual_error_threshold: float = 1e-30
+    need_primal_feasible: bool = False
+    need_dual_feasible: bool = False
+    verbose: bool = True
+    testing: bool = False  # print early-iteration timings (MPMP.jl:612)
+    # numerical degradation ladder (reference: sticky booleans, MPMP.jl:717-718)
+    use_lu_inverse: bool = False  # X^-1 via LU instead of Cholesky
+    use_lu_schur: bool = False  # S_j via LU instead of Cholesky
+
+
+# ---------------------------------------------------------------------------
+# Iteration pieces (each takes/returns pytrees; composed into one jit)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_shapes(info: BlockInfo, j: int):
+    m = info.m[j]
+    K = info.n_samples[j]
+    return m, K
+
+
+def compute_residual_R(X, Y, mu: XF, info: BlockInfo, dX=None, dY=None):
+    """R = mu I - XY (- dX dY)  (MPMP.jl:1189-1215)."""
+    R = []
+    for j in range(info.J):
+        row = []
+        for l in range(info.L[j]):
+            n = info.Y_blocksizes[j][l]
+            eye = XF.eye(n, k=mu.k, dtype=mu.dtype)
+            muI = xf_mul(eye, mu)
+            t = xf_add(muI, -xf_matmul(X[j][l], Y[j][l]))
+            if dX is not None:
+                t = xf_add(t, -xf_matmul(dX[j][l], dY[j][l]))
+            row.append(t)
+        R.append(row)
+    return R
+
+
+def compute_X_inv(X, info: BlockInfo, use_lu: bool):
+    """Per-block SPD inverse with ok flags (MPMP.jl:762-801)."""
+    inv_fn = xf_inverse_lu if use_lu else xf_spd_inverse
+    X_inv, ok = [], jnp.bool_(True)
+    for j in range(info.J):
+        row = []
+        for l in range(info.L[j]):
+            inv, okb = inv_fn(X[j][l])
+            ok = ok & okb
+            row.append(xf_sym(inv))
+        X_inv.append(row)
+    return X_inv, ok
+
+
+def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
+    """Pairings + Schur complement + saddle-point factorization
+    (MPMP.jl:1218-1514).
+
+    Returns dict with: S factors per cluster, LinvB, Q factor, A_Y
+    (diagonal Y pairings for the fast trace), PX/PY pairing tensors, ok.
+    """
+    info = problem.info
+    ok = jnp.bool_(True)
+    chol_S: List[Any] = []
+    perms_S: List[Any] = []
+    LinvB: List[XF] = []
+    A_Y: List[List[XF]] = []
+    PXs: List[List[XF]] = []
+    PYs: List[List[XF]] = []
+    k = problem.b.k
+    dtype = problem.b.dtype
+    n_y = info.n_y
+
+    Q = XF.zeros((n_y, n_y), k=k, dtype=dtype)
+    for j in range(info.J):
+        m, K = _cluster_shapes(info, j)
+        cl = problem.clusters[j]
+        S_j = XF.zeros((info.dim_S[j], info.dim_S[j]), k=k, dtype=dtype)
+        ay_row, px_row, py_row = [], [], []
+        for l in range(info.L[j]):
+            V, H = cl.Vs[l], cl.Hs[l]
+            rmax = info.rmax[j][l]
+            PX = compute_pairings(X_inv[j][l], V, m)
+            PY = compute_pairings(Y[j][l], V, m)
+            px_row.append(PX)
+            py_row.append(PY)
+            ay_row.append(pairing_diag(PY, m))
+            S_j = xf_add(S_j, schur_block_contribution(PX, PY, H, m, K, rmax))
+        A_Y.append(ay_row)
+        PXs.append(px_row)
+        PYs.append(py_row)
+        S_j = xf_sym(S_j)
+        if use_lu_schur:
+            lu, perm, okj = xf_lu(S_j)
+            chol_S.append(lu)
+            perms_S.append(perm)
+            # L^-1 P B with unit lower L
+            pb = XF(jnp.take(cl.B.limbs, perm, axis=1))
+            LB = xf_solve_tril(lu, pb, unit_diag=True)
+            # For Q = B^T S^-1 B we also need U^-T B
+            ub = xf_solve_tril(XF(jnp.swapaxes(lu.limbs, 1, 2)), cl.B, unit_diag=False)
+            Q = xf_add(Q, xf_matmul(ub.T, LB))
+            LinvB.append(LB)
+        else:
+            L, okj = xf_cholesky(S_j)
+            chol_S.append(L)
+            perms_S.append(None)
+            LB = xf_solve_tril(L, cl.B)
+            Q = xf_add(Q, xf_matmul(LB.T, LB))
+            LinvB.append(LB)
+        ok = ok & okj
+
+    # factor Q (n_y x n_y)  (MPMP.jl:1499-1505; LU there, Cholesky here
+    # with LU as the escalation path)
+    if use_lu_schur:
+        luQ, permQ, okq = xf_lu(Q)
+        Q_factor = (luQ, permQ)
+    else:
+        LQ, okq = xf_cholesky(Q)
+        Q_factor = (LQ, None)
+    ok = ok & okq
+
+    return dict(
+        chol_S=chol_S,
+        perms_S=perms_S,
+        LinvB=LinvB,
+        Q_factor=Q_factor,
+        A_Y=A_Y,
+        ok=ok,
+    )
+
+
+def _solve_S(decomp, j, rhs: XF, use_lu_schur: bool):
+    """Solve S_j x = rhs from the stored factor."""
+    if use_lu_schur:
+        return xf_lu_solve(decomp["chol_S"][j], decomp["perms_S"][j], rhs)
+    L = decomp["chol_S"][j]
+    w = xf_solve_tril(L, rhs)
+    return xf_solve_triu(L.T, w)
+
+
+def _solve_Q(decomp, rhs: XF, use_lu_schur: bool):
+    if use_lu_schur:
+        luQ, permQ = decomp["Q_factor"]
+        return xf_lu_solve(luQ, permQ, rhs)
+    LQ, _ = decomp["Q_factor"]
+    w = xf_solve_tril(LQ, rhs)
+    return xf_solve_triu(LQ.T, w)
+
+
+def compute_weighted_A(problem: SDPProblem, a: XF):
+    """Block-diagonal sum_i a_i A_i (MPMP.jl:1621-1678)."""
+    info = problem.info
+    out = []
+    for j in range(info.J):
+        m, K = _cluster_shapes(info, j)
+        a_j = a[info.x_indices[j] : info.x_indices[j + 1], 0]
+        cl = problem.clusters[j]
+        row = []
+        for l in range(info.L[j]):
+            row.append(
+                weighted_A_block(a_j, cl.Vs[l], cl.Hs[l], m, K, info.rmax[j][l])
+            )
+        out.append(row)
+    return out
+
+
+def compute_trace_A_diag(problem: SDPProblem, A_Y):
+    """Fast-path Tr(A_* Y) from stored diagonal pairings (MPMP.jl:1585-1618)."""
+    info = problem.info
+    parts = []
+    for j in range(info.J):
+        m, K = _cluster_shapes(info, j)
+        tr = None
+        for l in range(info.L[j]):
+            t = trace_A_from_diag(
+                A_Y[j][l], problem.clusters[j].Hs[l], m, K, info.rmax[j][l]
+            )
+            tr = t if tr is None else xf_add(tr, t)
+        parts.append(tr)
+    return XF(jnp.concatenate([p.limbs for p in parts], axis=1)).reshape(
+        (info.total_dim_S, 1)
+    )
+
+
+def compute_trace_A_generic(problem: SDPProblem, Z):
+    """Tr(A_* Z) for a generic block-diagonal Z (MPMP.jl:1517-1584)."""
+    info = problem.info
+    parts = []
+    for j in range(info.J):
+        m, K = _cluster_shapes(info, j)
+        tr = None
+        for l in range(info.L[j]):
+            t = trace_A_generic(
+                Z[j][l],
+                problem.clusters[j].Vs[l],
+                problem.clusters[j].Hs[l],
+                m,
+                K,
+                info.rmax[j][l],
+            )
+            tr = t if tr is None else xf_add(tr, t)
+        parts.append(tr)
+    return XF(jnp.concatenate([p.limbs for p in parts], axis=1)).reshape(
+        (info.total_dim_S, 1)
+    )
+
+
+def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
+    """P = sum A_i x_i - X - C;  p = b - B^T x;  d = c - Tr(A_* Y) - By
+    (MPMP.jl:1107-1144)."""
+    info = problem.info
+    P = compute_weighted_A(problem, x)
+    for j in range(info.J):
+        for l in range(info.L[j]):
+            t = xf_add(P[j][l], -X[j][l])
+            if problem.C_blocks is not None:
+                t = xf_add(t, -problem.C_blocks[j][l])
+            P[j][l] = t
+
+    # p = b - B^T x  (per-cluster partials then summed; the psum point in
+    # the sharded path, SURVEY.md §5.8 (a))
+    p = problem.b
+    for j in range(info.J):
+        xj = x[info.x_indices[j] : info.x_indices[j + 1], :]
+        p = xf_add(p, -xf_matmul(problem.clusters[j].B.T, xj))
+
+    # d = c - Tr(A_* Y) - B y
+    cs = XF(
+        jnp.concatenate([problem.clusters[j].c.limbs for j in range(info.J)], axis=1)
+    )
+    By = XF(
+        jnp.concatenate(
+            [xf_matmul(problem.clusters[j].B, y).limbs for j in range(info.J)], axis=1
+        )
+    )
+    d = xf_add(xf_add(cs, -By), -compute_trace_A_diag(problem, A_Y))
+    return P, p, d
+
+
+def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur):
+    """Predictor/corrector direction via the saddle-point factorization
+    (MPMP.jl:1682-1824)."""
+    info = problem.info
+    # Z = Sym(X^-1 (P Y - R))
+    Z = []
+    for j in range(info.J):
+        row = []
+        for l in range(info.L[j]):
+            t = xf_add(xf_matmul(P[j][l], Y[j][l]), -R[j][l])
+            row.append(xf_sym(xf_matmul(X_inv[j][l], t)))
+        Z.append(row)
+
+    rhs_x = xf_add(-d, -compute_trace_A_generic(problem, Z))
+    rhs_y = p
+
+    # 3-stage solve of [S -B; B^T 0] (dx; dy) = (rhs_x; rhs_y)
+    # stage 1: temp_x_j = L_j^-1 rhs_x_j;  acc = sum_j (L_j^-1 B_j)^T temp_x_j
+    temp_x = []
+    acc = None
+    for j in range(info.J):
+        rj = rhs_x[info.x_indices[j] : info.x_indices[j + 1], :]
+        if use_lu_schur:
+            perm = decomp["perms_S"][j]
+            rj = XF(jnp.take(rj.limbs, perm, axis=1))
+            tx = xf_solve_tril(decomp["chol_S"][j], rj, unit_diag=True)
+            # B^T U^-1 (L^-1 rhs) accumulated via U^-T B
+            ub = xf_solve_tril(
+                XF(jnp.swapaxes(decomp["chol_S"][j].limbs, 1, 2)),
+                problem.clusters[j].B,
+                unit_diag=False,
+            )
+            a = xf_matmul(ub.T, tx)
+        else:
+            tx = xf_solve_tril(decomp["chol_S"][j], rj)
+            a = xf_matmul(decomp["LinvB"][j].T, tx)
+        temp_x.append(tx)
+        acc = a if acc is None else xf_add(acc, a)
+    # stage 2: dy = Q^-1 (rhs_y - acc)   (psum point (c) in sharded path)
+    dy = _solve_Q(decomp, xf_add(rhs_y, -acc), use_lu_schur)
+    # stage 3: dx_j = U_j^-1 (temp_x_j + L_j^-1 B_j dy)
+    dxs = []
+    for j in range(info.J):
+        t = xf_add(temp_x[j], xf_matmul(decomp["LinvB"][j], dy))
+        if use_lu_schur:
+            dxj = xf_solve_triu(decomp["chol_S"][j], t, unit_diag=False)
+        else:
+            dxj = xf_solve_triu(decomp["chol_S"][j].T, t)
+        dxs.append(dxj)
+    dx = XF(jnp.concatenate([d_.limbs for d_ in dxs], axis=1))
+
+    # dX = P + sum_i dx_i A_i
+    dX = compute_weighted_A(problem, dx)
+    for j in range(info.J):
+        for l in range(info.L[j]):
+            dX[j][l] = xf_add(dX[j][l], P[j][l])
+
+    # dY = Sym(X^-1 (R - dX Y))
+    dY = []
+    for j in range(info.J):
+        row = []
+        for l in range(info.L[j]):
+            t = xf_add(R[j][l], -xf_matmul(dX[j][l], Y[j][l]))
+            row.append(xf_sym(xf_matmul(X_inv[j][l], t)))
+        dY.append(row)
+    return dx, dX, dy, dY
+
+
+def compute_step_length(M, dM, gamma: float, info: BlockInfo):
+    """alpha = min(1, -gamma/lambda_min), lambda_min over all blocks
+    (MPMP.jl:1829-1898).  Returns (alpha_f64, ok)."""
+    lam = jnp.inf
+    ok = jnp.bool_(True)
+    for j in range(info.J):
+        for l in range(info.L[j]):
+            lmin, okb = xf_min_eig_sym(M[j][l], dM[j][l])
+            lam = jnp.minimum(lam, lmin)
+            ok = ok & okb
+    alpha = jnp.where(lam > -gamma, 1.0, -gamma / jnp.minimum(lam, -1e-300))
+    alpha = jnp.minimum(alpha, 1.0)
+    return alpha, ok
+
+
+def compute_error_bd(P) -> XF:
+    """max |entry| over a block-diagonal (MPMP.jl:1036-1043)."""
+    e = None
+    for row in P:
+        for b in row:
+            m = xf_norm_max(b)
+            e = m if e is None else xf_max(e, m)
+    return e
+
+
+def compute_primal_objective(problem: SDPProblem, x: XF) -> XF:
+    cs = XF(
+        jnp.concatenate(
+            [problem.clusters[j].c.limbs for j in range(problem.info.J)], axis=1
+        )
+    )
+    from clrs_tpu.ops.xfloat import xf_dot
+
+    return xf_add(xf_dot(cs, x), problem.b0)
+
+
+def compute_dual_objective(problem: SDPProblem, y: XF, Y) -> XF:
+    from clrs_tpu.ops.xfloat import xf_dot
+
+    obj = xf_add(xf_dot(problem.b, y), problem.b0)
+    if problem.C_blocks is not None:
+        obj = xf_add(obj, bd_dot(problem.C_blocks, Y))
+    return obj
+
+
+def compute_duality_gap(p_obj: XF, d_obj: XF) -> XF:
+    """|p - d| / max(1, |p + d|)  (MPMP.jl:1066-1078)."""
+    num = xf_abs(xf_add(p_obj, -d_obj))
+    den = xf_max(
+        XF.ones((), k=p_obj.k, dtype=p_obj.dtype), xf_abs(xf_add(p_obj, d_obj))
+    )
+    return xf_div(num, den)
+
+
+# ---------------------------------------------------------------------------
+# The jitted iteration
+# ---------------------------------------------------------------------------
+
+
+def make_ipm_step(problem: SDPProblem, cfg: SolverConfig):
+    """Build the jitted one-iteration function for this problem's shapes."""
+    info = problem.info
+    k = problem.b.k
+    dtype = problem.b.dtype
+    Ktot = info.total_psd_size
+
+    def step(state, pd_feas):
+        x, y, X, Y = state
+        ok = jnp.bool_(True)
+
+        mu = xf_div(bd_dot(X, Y), XF.from_float(float(Ktot), k=k, dtype=dtype))
+        zero = XF.zeros((), k=k, dtype=dtype)
+        mu_p = xf_where(pd_feas, zero, xf_mul(mu, cfg.beta_infeasible))
+
+        R = compute_residual_R(X, Y, mu_p, info)
+        X_inv, ok_inv = compute_X_inv(X, info, cfg.use_lu_inverse)
+        ok = ok & ok_inv
+
+        decomp = compute_decomposition(problem, X_inv, Y, cfg.use_lu_schur)
+        ok = ok & decomp["ok"]
+
+        P, p, d = compute_residuals(problem, x, X, y, decomp["A_Y"])
+
+        # predictor
+        dx, dX, dy, dY = compute_search_direction(
+            problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur
+        )
+
+        # corrector factor (MPMP.jl:832-837)
+        XdX = bd_map(xf_add, X, dX)
+        YdY = bd_map(xf_add, Y, dY)
+        r = xf_div(
+            bd_dot(XdX, YdY),
+            xf_mul(mu, XF.from_float(float(Ktot), k=k, dtype=dtype)),
+        )
+        r_lt_1 = r < XF.ones((), k=k, dtype=dtype)
+        beta = xf_where(r_lt_1, xf_mul(r, r), r)
+        beta_inf = XF.from_float(cfg.beta_infeasible, k=k, dtype=dtype)
+        beta_fea = XF.from_float(cfg.beta_feasible, k=k, dtype=dtype)
+        one = XF.ones((), k=k, dtype=dtype)
+        beta_c = xf_where(
+            pd_feas,
+            xf_where(
+                xf_max(beta_fea, beta) < one, xf_max(beta_fea, beta), one
+            ),
+            xf_max(beta_inf, beta),
+        )
+        mu_c = xf_mul(beta_c, mu)
+
+        # corrector direction with second-order R (MPMP.jl:840-858)
+        R2 = compute_residual_R(X, Y, mu_c, info, dX, dY)
+        dx, dX, dy, dY = compute_search_direction(
+            problem, P, p, d, R2, X_inv, Y, decomp, cfg.use_lu_schur
+        )
+
+        # step lengths
+        alpha_p, ok_p = compute_step_length(X, dX, cfg.gamma, info)
+        alpha_d, ok_d = compute_step_length(Y, dY, cfg.gamma, info)
+        ok = ok & ok_p & ok_d
+        both = jnp.minimum(alpha_p, alpha_d)
+        alpha_p = jnp.where(pd_feas, both, alpha_p)
+        alpha_d = jnp.where(pd_feas, both, alpha_d)
+
+        # updates (MPMP.jl:877-887)
+        ap = XF.from_float(alpha_p.astype(dtype), k=k)
+        ad = XF.from_float(alpha_d.astype(dtype), k=k)
+        x_new = xf_add(x, xf_mul(dx, ap))
+        y_new = xf_add(y, xf_mul(dy, ad))
+        X_new = bd_map(lambda Xb, dXb: xf_add(Xb, xf_mul(dXb, ap)), X, dX)
+        Y_new = bd_map(lambda Yb, dYb: xf_add(Yb, xf_mul(dYb, ad)), Y, dY)
+
+        # diagnostics for the host loop
+        p_obj = compute_primal_objective(problem, x_new)
+        d_obj = compute_dual_objective(problem, y_new, Y_new)
+        gap = compute_duality_gap(p_obj, d_obj)
+        P_err = compute_error_bd(P)
+        p_err = xf_norm_max(p)
+        d_err = xf_norm_max(d)
+        primal_err = xf_max(P_err, p_err)
+
+        diag = dict(
+            mu=mu.to_float64(),
+            p_obj=p_obj.to_float64(),
+            d_obj=d_obj.to_float64(),
+            gap=gap.to_float64(),
+            gap_hi=gap.limbs[0],
+            P_err=P_err.to_float64(),
+            p_err=p_err.to_float64(),
+            d_err=d_err.to_float64(),
+            primal_err_hi=primal_err.limbs[0],
+            dual_err_hi=d_err.limbs[0],
+            alpha_p=alpha_p,
+            alpha_d=alpha_d,
+            beta_c=beta_c.to_float64(),
+            ok=ok,
+        )
+        return (x_new, y_new, X_new, Y_new), diag
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+def initial_state(problem: SDPProblem, cfg: SolverConfig):
+    """Cold start (MPMP.jl:659-686)."""
+    info = problem.info
+    k = problem.b.k
+    dtype = problem.b.dtype
+    x = XF.zeros((info.total_dim_S, 1), k=k, dtype=dtype)
+    y = XF.zeros((info.n_y, 1), k=k, dtype=dtype)
+    X = bd_scalar_identity(info, cfg.omega_p, k=k, dtype=dtype)
+    Y = bd_scalar_identity(info, cfg.omega_d, k=k, dtype=dtype)
+    return x, y, X, Y
+
+
+@dataclass
+class SolveResult:
+    """Return bundle mirroring the reference's tuple (MPMP.jl:1014-1024)."""
+
+    x: XF
+    X: Any
+    y: XF
+    Y: Any
+    P: Any
+    p: XF
+    d: XF
+    dual_gap: float
+    primal_objective: float
+    dual_objective: float
+    time_total: float
+    iterations: int
+    converged: bool
+    status: str
+    history: List[Dict[str, float]] = field(default_factory=list)
+
+
+def solverank1sdp(
+    constraints=None,
+    b=None,
+    blockinfo: Optional[BlockInfo] = None,
+    problem: Optional[SDPProblem] = None,
+    C=None,
+    b0=0,
+    initial_solutions=(),
+    precision_k: int = 2,
+    **kwargs,
+) -> SolveResult:
+    """Solve the clustered low-rank SDP.
+
+    Two entry forms, mirroring the reference (MPMP.jl:595-614):
+      - reference-style: solverank1sdp(constraints, b, blockinfo; ...)
+        with constraints[j] = (A, B, c, H) nested host data, or
+      - packed: solverank1sdp(problem=SDPProblem, ...).
+    """
+    cfg = SolverConfig(**kwargs)
+    if problem is None:
+        from clrs_tpu.core.problem import pack_constraints
+
+        problem = pack_constraints(
+            constraints, b, info=blockinfo, C=C, b0=b0, k=precision_k
+        )
+    info = problem.info
+
+    if len(initial_solutions) == 4:
+        state = tuple(initial_solutions)
+    else:
+        state = initial_state(problem, cfg)
+
+    step = make_ipm_step(problem, cfg)
+
+    header = (
+        f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'P-obj':>11} {'D-obj':>11} "
+        f"{'gap':>10} {'P-error':>10} {'p-error':>10} {'d-error':>10} "
+        f"{'alpha_p':>10} {'alpha_d':>10} {'beta':>10}"
+    )
+    if cfg.verbose:
+        print(header)
+
+    t0 = time.time()
+    itn = 0
+    pd_feas = False
+    converged = False
+    status = "max_iterations"
+    gap = np.inf
+    primal_err = np.inf
+    dual_err = np.inf
+    history: List[Dict[str, float]] = []
+
+    while itn < cfg.maxiterations:
+        itn += 1
+        state, diag = step(state, jnp.bool_(pd_feas))
+        diag = {kk: np.asarray(v) for kk, v in diag.items()}
+        if not bool(diag["ok"]):
+            status = "numerical_failure"
+            if cfg.verbose:
+                print(
+                    "A factorization failed — escalate precision "
+                    "(reference: 'try again with higher precision', MPMP.jl:793)"
+                )
+            break
+        gap = float(diag["gap_hi"])
+        primal_err = float(diag["primal_err_hi"])
+        dual_err = float(diag["dual_err_hi"])
+        row = dict(
+            iter=itn,
+            time=time.time() - t0,
+            mu=float(diag["mu"]),
+            p_obj=float(diag["p_obj"]),
+            d_obj=float(diag["d_obj"]),
+            gap=gap,
+            P_err=float(diag["P_err"]),
+            p_err=float(diag["p_err"]),
+            d_err=float(diag["d_err"]),
+            alpha_p=float(diag["alpha_p"]),
+            alpha_d=float(diag["alpha_d"]),
+            beta=float(diag["beta_c"]),
+        )
+        history.append(row)
+        if cfg.verbose:
+            print(
+                f"{itn:5d} {row['time']:8.1f} {row['mu']:11.3e} "
+                f"{row['p_obj']:11.3e} {row['d_obj']:11.3e} {gap:10.2e} "
+                f"{row['P_err']:10.2e} {row['p_err']:10.2e} {row['d_err']:10.2e} "
+                f"{row['alpha_p']:10.2e} {row['alpha_d']:10.2e} {row['beta']:10.2e}"
+            )
+
+        primal_feas = primal_err < cfg.primal_error_threshold
+        dual_feas = dual_err < cfg.dual_error_threshold
+        pd_feas = primal_feas and dual_feas
+        if cfg.need_primal_feasible and primal_feas:
+            status = "primal_feasible"
+            converged = True
+            break
+        if cfg.need_dual_feasible and dual_feas:
+            status = "dual_feasible"
+            converged = True
+            break
+        if primal_feas and dual_feas and gap < cfg.duality_gap_threshold:
+            status = "optimal"
+            converged = True
+            break
+
+    time_total = time.time() - t0
+    if cfg.verbose:
+        print(f"status: {status}  iterations: {itn}  time: {time_total:.2f}s")
+
+    x, y, X, Y = state
+    # final residuals for the return bundle
+    jstep = None
+    return SolveResult(
+        x=x,
+        X=X,
+        y=y,
+        Y=Y,
+        P=None,
+        p=None,
+        d=None,
+        dual_gap=gap,
+        primal_objective=history[-1]["p_obj"] if history else float("nan"),
+        dual_objective=history[-1]["d_obj"] if history else float("nan"),
+        time_total=time_total,
+        iterations=itn,
+        converged=converged,
+        status=status,
+        history=history,
+    )

@@ -1,0 +1,248 @@
+"""Extended-precision dense linear algebra on XF matrices.
+
+Replaces the reference solver's Arb matrix-factorization kernel set
+(SURVEY.md §2.9; reference call sites: Arblib.spd_inv! MPMP.jl:766,
+approx_inv! :781-788, approx_lu! :1436/:1501, approx_solve_tril!/triu!
+:1459-1463/:1752-1772, approx_solve_lu_precomp! :1764, cho! :1846,
+approx_eig_qr! :1860).
+
+Everything is jit-compatible: loops are `lax.fori_loop` with
+dynamic-slice row/column access on the stacked limb array, so a factorization
+traces to O(1) HLO and runs with static shapes.  Batched use is via vmap.
+
+Failure reporting follows the reference's degradation-ladder contract
+(MPMP.jl:762-801, 1429-1441): factorizations return an `ok` flag instead of
+raising; the solver escalates (Cholesky -> LU -> higher precision) on
+failure.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clrs_tpu.ops.xfloat import (
+    XF,
+    xf_abs,
+    xf_add,
+    xf_div,
+    xf_mul,
+    xf_sqrt,
+    xf_sum,
+    xf_where,
+)
+
+
+def _dyn_row(a: XF, i) -> XF:
+    """a[i, :] with traced i; a is (n, m) -> (m,)."""
+    row = jax.lax.dynamic_slice_in_dim(a.limbs, i, 1, axis=1)
+    return XF(jnp.squeeze(row, axis=1))
+
+
+def _set_col(a: XF, j, col: XF) -> XF:
+    """a[:, j] = col with traced j."""
+    return XF(
+        jax.lax.dynamic_update_slice_in_dim(a.limbs, col.limbs[:, :, None], j, axis=2)
+    )
+
+
+def _set_row(a: XF, i, row: XF) -> XF:
+    return XF(
+        jax.lax.dynamic_update_slice_in_dim(a.limbs, row.limbs[:, None, :], i, axis=1)
+    )
+
+
+def _matvec(a: XF, v: XF) -> XF:
+    """(n, m) @ (m,) in expansion arithmetic."""
+    prod = xf_mul(a, XF(v.limbs[:, None, :]))
+    return xf_sum(prod, axis=-1)
+
+
+def xf_cholesky(a: XF) -> Tuple[XF, jnp.ndarray]:
+    """Lower-triangular L with a = L L^T.  Returns (L, ok).
+
+    ok is False if any pivot is <= 0 (matrix not numerically SPD at this
+    precision) — the caller escalates per the reference's ladder
+    (MPMP.jl:774-786).
+    """
+    n = a.shape[0]
+    k = a.k
+    dtype = a.dtype
+    iota = jnp.arange(n)
+
+    L0 = XF.zeros((n, n), k=k, dtype=dtype)
+
+    def body(j, carry):
+        L, ok = carry
+        rowj = _dyn_row(L, j)  # (n,): L[j, t], zero for t >= j
+        # s = A[:, j] - L @ rowj
+        colA = XF(jax.lax.dynamic_slice_in_dim(a.limbs, j, 1, axis=2))
+        colA = XF(jnp.squeeze(colA.limbs, axis=2))
+        s = xf_add(colA, -_matvec(L, rowj))
+        djj_l = jax.lax.dynamic_slice_in_dim(s.limbs, j, 1, axis=1)
+        djj = XF(jnp.squeeze(djj_l, axis=1))
+        ok = ok & (djj.limbs[0] > 0)
+        safe = xf_where(djj.limbs[0] > 0, djj, XF.ones((), k=k, dtype=dtype))
+        ljj = xf_sqrt(safe)
+        col = xf_div(s, ljj)
+        col = xf_where(iota > j, col, XF.zeros((n,), k=k, dtype=dtype))
+        col = xf_where(iota == j, ljj.broadcast_to((n,)), col)
+        L = _set_col(L, j, col)
+        return L, ok
+
+    L, ok = jax.lax.fori_loop(0, n, body, (L0, jnp.bool_(True)))
+    return L, ok
+
+
+def xf_solve_tril(l: XF, b: XF, unit_diag: bool = False) -> XF:
+    """Solve L x = b with L lower triangular; b is (n, m)."""
+    n = l.shape[0]
+    k = l.k
+    dtype = l.dtype
+    x0 = XF.zeros(b.shape, k=k, dtype=dtype)
+
+    def body(i, x):
+        rowl = _dyn_row(l, i)  # (n,)
+        rowb = _dyn_row(b, i)  # (m,)
+        # acc = rowl @ x  (entries of x with row >= i are still zero)
+        prod = xf_mul(XF(rowl.limbs[:, :, None]), x)
+        acc = xf_sum(prod, axis=0)
+        num = xf_add(rowb, -acc)
+        if not unit_diag:
+            dii_l = jax.lax.dynamic_slice_in_dim(rowl.limbs, i, 1, axis=1)
+            dii = XF(jnp.squeeze(dii_l, axis=1))
+            num = xf_div(num, dii)
+        return _set_row(x, i, num)
+
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+def xf_solve_triu(u: XF, b: XF, unit_diag: bool = False) -> XF:
+    """Solve U x = b with U upper triangular; b is (n, m)."""
+    n = u.shape[0]
+    k = u.k
+    dtype = u.dtype
+    x0 = XF.zeros(b.shape, k=k, dtype=dtype)
+
+    def body(step, x):
+        i = n - 1 - step
+        rowu = _dyn_row(u, i)
+        rowb = _dyn_row(b, i)
+        prod = xf_mul(XF(rowu.limbs[:, :, None]), x)
+        acc = xf_sum(prod, axis=0)
+        num = xf_add(rowb, -acc)
+        if not unit_diag:
+            dii_l = jax.lax.dynamic_slice_in_dim(rowu.limbs, i, 1, axis=1)
+            dii = XF(jnp.squeeze(dii_l, axis=1))
+            num = xf_div(num, dii)
+        return _set_row(x, i, num)
+
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+def xf_lu(a: XF) -> Tuple[XF, jnp.ndarray, jnp.ndarray]:
+    """LU with partial pivoting: returns (LU packed, perm, ok).
+
+    perm is the row permutation applied to a (a[perm] = L @ U).
+    Replaces Arblib.approx_lu! (MPMP.jl:1436, 1501).
+    """
+    n = a.shape[0]
+    k = a.k
+    dtype = a.dtype
+    iota = jnp.arange(n)
+
+    def body(kk, carry):
+        lu, perm, ok = carry
+        col = XF(jnp.squeeze(jax.lax.dynamic_slice_in_dim(lu.limbs, kk, 1, axis=2), 2))
+        mag = jnp.abs(col.limbs[0])
+        mag = jnp.where(iota >= kk, mag, -jnp.inf)
+        p = jnp.argmax(mag)
+        ok = ok & (mag[p] > 0)
+        # swap rows kk <-> p
+        idx = iota.at[kk].set(p).at[p].set(kk)
+        lu = XF(jnp.take(lu.limbs, idx, axis=1))
+        perm = jnp.take(perm, idx, axis=0)
+        # eliminate below the pivot
+        rowk = _dyn_row(lu, kk)  # (n,)
+        pivot_l = jax.lax.dynamic_slice_in_dim(rowk.limbs, kk, 1, axis=1)
+        pivot = XF(jnp.squeeze(pivot_l, axis=1))
+        safe_p = xf_where(
+            xf_abs(pivot).limbs[0] > 0, pivot, XF.ones((), k=k, dtype=dtype)
+        )
+        colk = XF(jnp.squeeze(jax.lax.dynamic_slice_in_dim(lu.limbs, kk, 1, axis=2), 2))
+        mults = xf_div(colk, safe_p)
+        mults = xf_where(iota > kk, mults, XF.zeros((n,), k=k, dtype=dtype))
+        # lu[i, j] -= mults[i] * rowk[j] for j > kk
+        upd = xf_mul(XF(mults.limbs[:, :, None]), XF(rowk.limbs[:, None, :]))
+        colmask = (iota > kk)[None, :]
+        upd = xf_where(colmask, upd, XF.zeros((n, n), k=k, dtype=dtype))
+        lu = xf_add(lu, -upd)
+        # store multipliers in column kk below the diagonal
+        newcol = xf_where(iota > kk, mults, colk)
+        lu = _set_col(lu, kk, newcol)
+        return lu, perm, ok
+
+    lu, perm, ok = jax.lax.fori_loop(0, n, body, (a, iota, jnp.bool_(True)))
+    return lu, perm, ok
+
+
+def xf_lu_solve(lu: XF, perm: jnp.ndarray, b: XF) -> XF:
+    """Solve A x = b from packed LU factors (approx_solve_lu_precomp!,
+    MPMP.jl:1764)."""
+    pb = XF(jnp.take(b.limbs, perm, axis=1))
+    y = xf_solve_tril(lu, pb, unit_diag=True)
+    return xf_solve_triu(lu, y, unit_diag=False)
+
+
+def xf_spd_inverse(a: XF) -> Tuple[XF, jnp.ndarray]:
+    """SPD inverse via Cholesky (Arblib.spd_inv!, MPMP.jl:766)."""
+    n = a.shape[0]
+    L, ok = xf_cholesky(a)
+    eye = XF.eye(n, k=a.k, dtype=a.dtype)
+    w = xf_solve_tril(L, eye)
+    inv = xf_solve_triu(XF(jnp.swapaxes(L.limbs, 1, 2)), w)
+    return inv, ok
+
+
+def xf_inverse_lu(a: XF) -> Tuple[XF, jnp.ndarray]:
+    """General inverse via LU (Arblib.approx_inv!, MPMP.jl:781-788)."""
+    n = a.shape[0]
+    lu, perm, ok = xf_lu(a)
+    eye = XF.eye(n, k=a.k, dtype=a.dtype)
+    return xf_lu_solve(lu, perm, eye), ok
+
+
+def xf_sym(a: XF) -> XF:
+    """(A + A^T)/2 — the reference symmetrizes Z, dY (MPMP.jl:1719-1727)."""
+    at = XF(jnp.swapaxes(a.limbs, -1, -2))
+    s = xf_add(a, at)
+    return XF(s.limbs * 0.5)
+
+
+def xf_eigvalsh_approx(a: XF) -> jnp.ndarray:
+    """Eigenvalues of a symmetric XF matrix, computed in plain float64.
+
+    Used for the step-length oracle: the reference computes eigenvalues per
+    block each iteration (approx_eig_qr!, MPMP.jl:1860) but consumes only
+    lambda_min with a gamma=0.7 safety slack (:1893-1897), so ~1e-13
+    relative accuracy suffices.  The matrix itself (L^-1 dM L^-T) is formed
+    in full precision first.
+    """
+    return jnp.linalg.eigvalsh(a.to_float64())
+
+
+def xf_min_eig_sym(m: XF, dm: XF) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lambda_min of L^-1 dM L^-T where m = L L^T (step-length oracle).
+
+    Returns (lambda_min_f64, ok).  Mirrors MPMP.jl:1842-1880: Cholesky of
+    M, two triangular solves, symmetric eigenvalues, min.
+    """
+    L, ok = xf_cholesky(m)
+    w = xf_solve_tril(L, dm)
+    wt = XF(jnp.swapaxes(w.limbs, 1, 2))
+    lml = xf_solve_tril(L, wt)
+    lml_sym = xf_sym(lml)
+    eigs = xf_eigvalsh_approx(lml_sym)
+    return jnp.min(eigs), ok

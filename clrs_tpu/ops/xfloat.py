@@ -44,17 +44,38 @@ Array = Any
 # ---------------------------------------------------------------------------
 
 
+def _opaque(x):
+    """Hide a value's defining expression from XLA's algebraic simplifier.
+
+    XLA (with its default allow_excess_precision) may rewrite patterns like
+    (a+b)-a -> b, which is real-arithmetic-valid but destroys the rounding
+    error that error-free transforms exist to capture.  An optimization
+    barrier keeps the EFT algebra intact; it costs nothing at runtime.
+    """
+    return jax.lax.optimization_barrier(x)
+
+
 def two_sum(a: Array, b: Array):
-    """s + e == a + b exactly, s = fl(a+b).  (Knuth, 6 flops.)"""
-    s = a + b
-    bb = s - a
+    """s + e == a + b exactly, s = fl(a+b).  (Knuth, 6 flops.)
+
+    s and bb are barriered: XLA's algebraic simplifier applies the
+    real-arithmetic identities (a+b)-a -> b and s-(s-a) -> a, each of which
+    silently destroys the rounding error this transform exists to capture.
+    s opaque blocks the first (also inside bb); bb opaque blocks the second.
+    Verified empirically on both the CPU and TPU backends.
+    """
+    s = _opaque(a + b)
+    bb = _opaque(s - a)
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def fast_two_sum(a: Array, b: Array):
-    """s + e == a + b exactly, assuming |a| >= |b|.  (Dekker, 3 flops.)"""
-    s = a + b
+    """s + e == a + b exactly, assuming |a| >= |b|.  (Dekker, 3 flops.)
+
+    s is barriered so (s - a) cannot be simplified to b.
+    """
+    s = _opaque(a + b)
     e = b - (s - a)
     return s, e
 
@@ -69,16 +90,25 @@ def _split_const(dtype) -> float:
 
 
 def split(a: Array):
-    """a == hi + lo with hi, lo having ~p/2-bit significands (Dekker)."""
+    """a == hi + lo with hi, lo having ~p/2-bit significands (Dekker).
+
+    The inner (t - a) is barriered so t - (t - a) cannot collapse to a.
+    """
     c = jnp.asarray(_split_const(a.dtype), dtype=a.dtype)
     t = c * a
-    hi = t - (t - a)
+    u = _opaque(t - a)
+    hi = t - u
     lo = a - hi
     return hi, lo
 
 
 def two_prod(a: Array, b: Array):
-    """p + e == a * b exactly, p = fl(a*b).  (Dekker splitting, ~17 flops.)"""
+    """p + e == a * b exactly, p = fl(a*b).  (Dekker splitting, ~17 flops.)
+
+    No barrier needed beyond split's: fma contraction of ahi*bhi - p is
+    exact here (ahi*bhi fits in one product), and XLA does not factor
+    floating-point sums of products.
+    """
     p = a * b
     ahi, alo = split(a)
     bhi, blo = split(b)
@@ -253,7 +283,11 @@ class XF:
         return XF(self.limbs.reshape((self.k,) + tuple(shape)))
 
     def broadcast_to(self, shape) -> "XF":
-        return XF(jnp.broadcast_to(self.limbs, (self.k,) + tuple(shape)))
+        shape = tuple(shape)
+        limbs = self.limbs.reshape(
+            (self.k,) + (1,) * (len(shape) - self.ndim) + self.shape
+        )
+        return XF(jnp.broadcast_to(limbs, (self.k,) + shape))
 
     @property
     def T(self) -> "XF":
@@ -466,9 +500,8 @@ def xf_lt(a: XF, b: XF) -> Array:
 
 def xf_where(cond: Array, a: XF, b: XF) -> XF:
     shape = jnp.broadcast_shapes(jnp.shape(cond), a.shape, b.shape)
-    k = max(a.k, b.k)
-    al = jnp.broadcast_to(_lift(a, b).limbs, (k,) + shape)
-    bl = jnp.broadcast_to(_lift(b, a).limbs, (k,) + shape)
+    al = _lift(a, b).broadcast_to(shape).limbs
+    bl = _lift(b, a).broadcast_to(shape).limbs
     return XF(jnp.where(jnp.broadcast_to(cond, shape)[None], al, bl))
 
 

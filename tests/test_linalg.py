@@ -1,0 +1,172 @@
+"""XF linear algebra vs mpmath oracles (SURVEY.md §4 test strategy)."""
+
+import jax
+import mpmath
+import numpy as np
+import pytest
+
+from clrs_tpu.ops.linalg import (
+    xf_cholesky,
+    xf_inverse_lu,
+    xf_lu,
+    xf_lu_solve,
+    xf_min_eig_sym,
+    xf_solve_tril,
+    xf_solve_triu,
+    xf_spd_inverse,
+    xf_sym,
+)
+from clrs_tpu.ops.xfloat import XF, xf_from_mp, xf_matmul, xf_to_mp
+
+mpmath.mp.prec = 350
+
+
+def rand_spd_mp(rng, n, cond_pow=8):
+    """SPD matrix with condition ~10^cond_pow as mpmath object array."""
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.logspace(0, -cond_pow, n)
+    a = (q * d) @ q.T
+    m = np.empty((n, n), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            m[i, j] = mpmath.mpf(float(a[i, j]))
+    # exact symmetrization
+    return (m + m.T) / 2
+
+
+def mp_err(got, want):
+    scale = max(abs(v) for v in np.asarray(want).ravel()) + mpmath.mpf(1e-300)
+    return max(abs(g - w) for g, w in zip(np.asarray(got).ravel(), np.asarray(want).ravel())) / scale
+
+
+def test_cholesky_identity_roundtrip():
+    rng = np.random.default_rng(0)
+    n = 12
+    a_mp = rand_spd_mp(rng, n, cond_pow=6)
+    a = xf_from_mp(a_mp, k=2)
+    L, ok = xf_cholesky(a)
+    assert bool(ok)
+    rec = xf_matmul(L, L.T)
+    err = mp_err(xf_to_mp(rec), a_mp)
+    assert err < 1e-28, err
+    # strictly lower triangular structure
+    Lnp = np.asarray(L.limbs[0])
+    assert np.allclose(np.triu(Lnp, 1), 0)
+
+
+def test_cholesky_fails_on_indefinite():
+    a = XF.from_float(np.diag([1.0, -1.0, 2.0]), k=2)
+    _, ok = xf_cholesky(a)
+    assert not bool(ok)
+
+
+def test_solve_triangular():
+    rng = np.random.default_rng(1)
+    n, m = 10, 3
+    a_mp = rand_spd_mp(rng, n, cond_pow=4)
+    a = xf_from_mp(a_mp, k=2)
+    L, ok = xf_cholesky(a)
+    b_mp = np.array([mpmath.mpf(float(x)) for x in rng.standard_normal(n * m)]).reshape(n, m)
+    b = xf_from_mp(b_mp, k=2)
+    x = xf_solve_tril(L, b)
+    rec = xf_matmul(L, x)
+    assert mp_err(xf_to_mp(rec), b_mp) < 1e-28
+    xu = xf_solve_triu(L.T, b)
+    rec = xf_matmul(L.T, xu)
+    assert mp_err(xf_to_mp(rec), b_mp) < 1e-28
+
+
+def test_lu_and_solve():
+    rng = np.random.default_rng(2)
+    n = 14
+    a_np = rng.standard_normal((n, n))
+    a_mp = np.empty((n, n), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            a_mp[i, j] = mpmath.mpf(float(a_np[i, j]))
+    a = xf_from_mp(a_mp, k=2)
+    lu, perm, ok = xf_lu(a)
+    assert bool(ok)
+    b_mp = np.array([mpmath.mpf(float(x)) for x in rng.standard_normal(n)]).reshape(n, 1)
+    b = xf_from_mp(b_mp, k=2)
+    x = xf_lu_solve(lu, perm, b)
+    rec = xf_matmul(a, x)
+    assert mp_err(xf_to_mp(rec), b_mp) < 1e-27
+
+
+def test_lu_needs_pivoting():
+    """Zero in the leading entry forces a row swap."""
+    a_np = np.array([[0.0, 2.0], [3.0, 1.0]])
+    a = XF.from_float(a_np, k=2)
+    lu, perm, ok = xf_lu(a)
+    assert bool(ok)
+    b = XF.from_float(np.array([[4.0], [5.0]]), k=2)
+    x = xf_lu_solve(lu, perm, b)
+    want = np.linalg.solve(a_np, np.array([[4.0], [5.0]]))
+    assert np.allclose(np.asarray(x.limbs[0]), want)
+
+
+def test_spd_inverse_high_condition():
+    """cond ~1e10 SPD inverse must still give ~1e-20 residual in dd."""
+    rng = np.random.default_rng(3)
+    n = 10
+    a_mp = rand_spd_mp(rng, n, cond_pow=10)
+    a = xf_from_mp(a_mp, k=2)
+    inv, ok = xf_spd_inverse(a)
+    assert bool(ok)
+    rec = xf_matmul(a, inv)
+    eye = np.empty((n, n), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            eye[i, j] = mpmath.mpf(1 if i == j else 0)
+    # residual limited by cond * eps_dd ~ 1e10 * 1e-32
+    assert mp_err(xf_to_mp(rec), eye) < 1e-18
+
+
+def test_inverse_lu_matches_spd():
+    rng = np.random.default_rng(4)
+    n = 8
+    a_mp = rand_spd_mp(rng, n, cond_pow=5)
+    a = xf_from_mp(a_mp, k=2)
+    i1, ok1 = xf_spd_inverse(a)
+    i2, ok2 = xf_inverse_lu(a)
+    assert bool(ok1) and bool(ok2)
+    assert mp_err(xf_to_mp(i1), xf_to_mp(i2)) < 1e-25
+
+
+def test_min_eig_sym():
+    rng = np.random.default_rng(5)
+    n = 9
+    m_mp = rand_spd_mp(rng, n, cond_pow=3)
+    dm_np = rng.standard_normal((n, n))
+    dm_np = (dm_np + dm_np.T) / 2
+    m = xf_from_mp(m_mp, k=2)
+    dm = XF.from_float(dm_np, k=2)
+    lam, ok = xf_min_eig_sym(m, dm)
+    assert bool(ok)
+    # oracle in numpy f64
+    m_np = np.vectorize(float)(m_mp).astype(np.float64)
+    L = np.linalg.cholesky(m_np)
+    w = np.linalg.solve(L, dm_np)
+    lml = np.linalg.solve(L, w.T)
+    want = np.min(np.linalg.eigvalsh((lml + lml.T) / 2))
+    assert abs(float(lam) - want) < 1e-9 * max(1, abs(want))
+
+
+def test_jit_and_vmap_cholesky():
+    rng = np.random.default_rng(6)
+    n, batch = 6, 4
+    mats = []
+    for _ in range(batch):
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.logspace(0, -3, n)
+        mats.append((q * d) @ q.T)
+    a = XF.from_float(np.stack(mats), k=2)  # (batch, n, n)
+    # XF leaves carry limbs in axis 0, so the batch axis is 1
+    chol_b = jax.jit(jax.vmap(xf_cholesky, in_axes=1, out_axes=(1, 0)))
+    L, ok = chol_b(a)
+    assert L.shape == (batch, n, n)
+    assert bool(np.all(np.asarray(ok)))
+    for i in range(batch):
+        rec = np.asarray(L.limbs[0][i]) @ np.asarray(L.limbs[0][i]).T
+        assert np.allclose(rec, mats[i], atol=1e-12)
