@@ -364,7 +364,16 @@ def _bshape(a: XF, b: XF):
     return shape
 
 
+def _lift2(a, b):
+    if not isinstance(a, XF):
+        a = _lift(a, b)
+    if not isinstance(b, XF):
+        b = _lift(b, a)
+    return a, b
+
+
 def xf_add(a: XF, b: XF) -> XF:
+    a, b = _lift2(a, b)
     k = max(a.k, b.k)
     shape = _bshape(a, b)
     al = [jnp.broadcast_to(x, shape) for x in a.limb_list]
@@ -395,6 +404,7 @@ def _dd_add(al, bl) -> XF:
 
 
 def xf_mul(a: XF, b: XF) -> XF:
+    a, b = _lift2(a, b)
     k = max(a.k, b.k)
     shape = _bshape(a, b)
     al = [jnp.broadcast_to(x, shape) for x in a.limb_list]
@@ -434,6 +444,7 @@ def _dd_mul(al, bl) -> XF:
 
 
 def xf_div(a: XF, b: XF) -> XF:
+    a, b = _lift2(a, b)
     k = max(a.k, b.k)
     if k == 1:
         shape = _bshape(a, b)
