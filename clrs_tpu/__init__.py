@@ -39,6 +39,18 @@ import jax as _jax
 # array is created.
 _jax.config.update("jax_enable_x64", True)
 
+# The solver's jitted iteration graphs are large; cache compiled executables
+# across processes (tests, benchmarks, repeated solves).
+_cache_dir = _os.environ.get(
+    "CLRS_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/clrs_tpu_xla")
+)
+try:  # pragma: no cover
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 from clrs_tpu.ops.xfloat import XF  # noqa: E402
 
 # Layers above ops are imported lazily-tolerantly while the framework is

@@ -64,6 +64,7 @@ from clrs_tpu.ops.xfloat import (
     xf_div,
     xf_matmul,
     xf_max,
+    xf_min,
     xf_mul,
     xf_norm_max,
     xf_sum,
@@ -139,96 +140,61 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
     """Pairings + Schur complement + saddle-point factorization
     (MPMP.jl:1218-1514).
 
-    Returns dict with: S factors per cluster, LinvB, Q factor, A_Y
-    (diagonal Y pairings for the fast trace), PX/PY pairing tensors, ok.
+    TPU-native deviation from the reference's factor-and-substitute scheme:
+    S_j^-1 and Q^-1 are materialized here (via Cholesky or LU), so the
+    twice-per-iteration direction solves (MPMP.jl:1743-1776) become pure
+    matmuls — batched MXU work instead of sequential substitution loops.
+    The extra O(dim^3) inverse lives in this once-per-iteration phase where
+    a factorization already exists; accuracy is governed by cond(S)*eps
+    either way, and the escalation ladder catches failures.
+
+    Returns dict with: S_inv and S_inv_B per cluster, Q_inv, A_Y (diagonal
+    Y pairings for the fast Tr(A_* Y)), ok.
     """
     info = problem.info
     ok = jnp.bool_(True)
-    chol_S: List[Any] = []
-    perms_S: List[Any] = []
-    LinvB: List[XF] = []
+    S_inv: List[XF] = []
+    S_inv_B: List[XF] = []
     A_Y: List[List[XF]] = []
-    PXs: List[List[XF]] = []
-    PYs: List[List[XF]] = []
     k = problem.b.k
     dtype = problem.b.dtype
     n_y = info.n_y
+    inv_fn = xf_inverse_lu if use_lu_schur else xf_spd_inverse
 
     Q = XF.zeros((n_y, n_y), k=k, dtype=dtype)
     for j in range(info.J):
         m, K = _cluster_shapes(info, j)
         cl = problem.clusters[j]
         S_j = XF.zeros((info.dim_S[j], info.dim_S[j]), k=k, dtype=dtype)
-        ay_row, px_row, py_row = [], [], []
+        ay_row = []
         for l in range(info.L[j]):
             V, H = cl.Vs[l], cl.Hs[l]
             rmax = info.rmax[j][l]
             PX = compute_pairings(X_inv[j][l], V, m)
             PY = compute_pairings(Y[j][l], V, m)
-            px_row.append(PX)
-            py_row.append(PY)
             ay_row.append(pairing_diag(PY, m))
             S_j = xf_add(S_j, schur_block_contribution(PX, PY, H, m, K, rmax))
         A_Y.append(ay_row)
-        PXs.append(px_row)
-        PYs.append(py_row)
         S_j = xf_sym(S_j)
-        if use_lu_schur:
-            lu, perm, okj = xf_lu(S_j)
-            chol_S.append(lu)
-            perms_S.append(perm)
-            # L^-1 P B with unit lower L
-            pb = XF(jnp.take(cl.B.limbs, perm, axis=1))
-            LB = xf_solve_tril(lu, pb, unit_diag=True)
-            # For Q = B^T S^-1 B we also need U^-T B
-            ub = xf_solve_tril(XF(jnp.swapaxes(lu.limbs, 1, 2)), cl.B, unit_diag=False)
-            Q = xf_add(Q, xf_matmul(ub.T, LB))
-            LinvB.append(LB)
-        else:
-            L, okj = xf_cholesky(S_j)
-            chol_S.append(L)
-            perms_S.append(None)
-            LB = xf_solve_tril(L, cl.B)
-            Q = xf_add(Q, xf_matmul(LB.T, LB))
-            LinvB.append(LB)
+        Sj_inv, okj = inv_fn(S_j)
+        Sj_inv = xf_sym(Sj_inv)
+        SB = xf_matmul(Sj_inv, cl.B)
+        Q = xf_add(Q, xf_matmul(cl.B.T, SB))
+        S_inv.append(Sj_inv)
+        S_inv_B.append(SB)
         ok = ok & okj
 
-    # factor Q (n_y x n_y)  (MPMP.jl:1499-1505; LU there, Cholesky here
-    # with LU as the escalation path)
-    if use_lu_schur:
-        luQ, permQ, okq = xf_lu(Q)
-        Q_factor = (luQ, permQ)
-    else:
-        LQ, okq = xf_cholesky(Q)
-        Q_factor = (LQ, None)
+    # Q = B^T S^-1 B (n_y x n_y)  (MPMP.jl:1467-1505)
+    Q_inv, okq = inv_fn(xf_sym(Q))
     ok = ok & okq
 
     return dict(
-        chol_S=chol_S,
-        perms_S=perms_S,
-        LinvB=LinvB,
-        Q_factor=Q_factor,
+        S_inv=S_inv,
+        S_inv_B=S_inv_B,
+        Q_inv=Q_inv,
         A_Y=A_Y,
         ok=ok,
     )
-
-
-def _solve_S(decomp, j, rhs: XF, use_lu_schur: bool):
-    """Solve S_j x = rhs from the stored factor."""
-    if use_lu_schur:
-        return xf_lu_solve(decomp["chol_S"][j], decomp["perms_S"][j], rhs)
-    L = decomp["chol_S"][j]
-    w = xf_solve_tril(L, rhs)
-    return xf_solve_triu(L.T, w)
-
-
-def _solve_Q(decomp, rhs: XF, use_lu_schur: bool):
-    if use_lu_schur:
-        luQ, permQ = decomp["Q_factor"]
-        return xf_lu_solve(luQ, permQ, rhs)
-    LQ, _ = decomp["Q_factor"]
-    w = xf_solve_tril(LQ, rhs)
-    return xf_solve_triu(LQ.T, w)
 
 
 def compute_weighted_A(problem: SDPProblem, a: XF):
@@ -337,39 +303,24 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
     rhs_x = xf_add(-d, -compute_trace_A_generic(problem, Z))
     rhs_y = p
 
-    # 3-stage solve of [S -B; B^T 0] (dx; dy) = (rhs_x; rhs_y)
-    # stage 1: temp_x_j = L_j^-1 rhs_x_j;  acc = sum_j (L_j^-1 B_j)^T temp_x_j
+    # saddle solve of [S -B; B^T 0] (dx; dy) = (rhs_x; rhs_y) from the
+    # materialized inverses — all matmuls (MPMP.jl:1743-1776 re-derived):
+    #   t_j = S_j^-1 rhs_x_j;  dy = Q^-1 (rhs_y - sum_j B_j^T t_j);
+    #   dx_j = t_j + S_j^-1 B_j dy
     temp_x = []
     acc = None
     for j in range(info.J):
         rj = rhs_x[info.x_indices[j] : info.x_indices[j + 1], :]
-        if use_lu_schur:
-            perm = decomp["perms_S"][j]
-            rj = XF(jnp.take(rj.limbs, perm, axis=1))
-            tx = xf_solve_tril(decomp["chol_S"][j], rj, unit_diag=True)
-            # B^T U^-1 (L^-1 rhs) accumulated via U^-T B
-            ub = xf_solve_tril(
-                XF(jnp.swapaxes(decomp["chol_S"][j].limbs, 1, 2)),
-                problem.clusters[j].B,
-                unit_diag=False,
-            )
-            a = xf_matmul(ub.T, tx)
-        else:
-            tx = xf_solve_tril(decomp["chol_S"][j], rj)
-            a = xf_matmul(decomp["LinvB"][j].T, tx)
+        tx = xf_matmul(decomp["S_inv"][j], rj)
+        a = xf_matmul(problem.clusters[j].B.T, tx)
         temp_x.append(tx)
         acc = a if acc is None else xf_add(acc, a)
-    # stage 2: dy = Q^-1 (rhs_y - acc)   (psum point (c) in sharded path)
-    dy = _solve_Q(decomp, xf_add(rhs_y, -acc), use_lu_schur)
-    # stage 3: dx_j = U_j^-1 (temp_x_j + L_j^-1 B_j dy)
-    dxs = []
-    for j in range(info.J):
-        t = xf_add(temp_x[j], xf_matmul(decomp["LinvB"][j], dy))
-        if use_lu_schur:
-            dxj = xf_solve_triu(decomp["chol_S"][j], t, unit_diag=False)
-        else:
-            dxj = xf_solve_triu(decomp["chol_S"][j].T, t)
-        dxs.append(dxj)
+    # dy (the psum point (c) in the sharded path, SURVEY.md §5.8)
+    dy = xf_matmul(decomp["Q_inv"], xf_add(rhs_y, -acc))
+    dxs = [
+        xf_add(temp_x[j], xf_matmul(decomp["S_inv_B"][j], dy))
+        for j in range(info.J)
+    ]
     dx = XF(jnp.concatenate([d_.limbs for d_ in dxs], axis=1))
 
     # dX = P + sum_i dx_i A_i
@@ -448,35 +399,47 @@ def compute_duality_gap(p_obj: XF, d_obj: XF) -> XF:
 # ---------------------------------------------------------------------------
 
 
-def make_ipm_step(problem: SDPProblem, cfg: SolverConfig):
-    """Build the jitted one-iteration function for this problem's shapes."""
+def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
+    """Build the per-phase jitted functions for this problem's shapes.
+
+    The iteration is split into separately-jitted phases rather than one
+    monolithic graph: XLA compile time is superlinear in HLO size, the
+    direction phase is shared by predictor and corrector (one compile, two
+    calls), and the host-side phase boundaries give exactly the per-phase
+    timing instrumentation the reference hand-rolls (MPMP.jl:699-714,
+    888-921 — decomp/directions/alpha/Xinv/R/res buckets).
+    """
     info = problem.info
     k = problem.b.k
     dtype = problem.b.dtype
     Ktot = info.total_psd_size
 
-    def step(state, pd_feas):
+    @jax.jit
+    def phase_mu_R_Xinv(state, pd_feas):
         x, y, X, Y = state
-        ok = jnp.bool_(True)
-
         mu = xf_div(bd_dot(X, Y), XF.from_float(float(Ktot), k=k, dtype=dtype))
         zero = XF.zeros((), k=k, dtype=dtype)
         mu_p = xf_where(pd_feas, zero, xf_mul(mu, cfg.beta_infeasible))
-
         R = compute_residual_R(X, Y, mu_p, info)
         X_inv, ok_inv = compute_X_inv(X, info, cfg.use_lu_inverse)
-        ok = ok & ok_inv
+        return mu, R, X_inv, ok_inv
 
-        decomp = compute_decomposition(problem, X_inv, Y, cfg.use_lu_schur)
-        ok = ok & decomp["ok"]
+    @jax.jit
+    def phase_decomp(X_inv, Y):
+        return compute_decomposition(problem, X_inv, Y, cfg.use_lu_schur)
 
-        P, p, d = compute_residuals(problem, x, X, y, decomp["A_Y"])
+    @jax.jit
+    def phase_residuals(x, X, y, A_Y):
+        return compute_residuals(problem, x, X, y, A_Y)
 
-        # predictor
-        dx, dX, dy, dY = compute_search_direction(
+    @jax.jit
+    def phase_direction(P, p, d, R, X_inv, Y, decomp):
+        return compute_search_direction(
             problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur
         )
 
+    @jax.jit
+    def phase_corrector_R(X, Y, dX, dY, mu, pd_feas):
         # corrector factor (MPMP.jl:832-837)
         XdX = bd_map(xf_add, X, dX)
         YdY = bd_map(xf_add, Y, dY)
@@ -484,35 +447,29 @@ def make_ipm_step(problem: SDPProblem, cfg: SolverConfig):
             bd_dot(XdX, YdY),
             xf_mul(mu, XF.from_float(float(Ktot), k=k, dtype=dtype)),
         )
-        r_lt_1 = r < XF.ones((), k=k, dtype=dtype)
-        beta = xf_where(r_lt_1, xf_mul(r, r), r)
+        one = XF.ones((), k=k, dtype=dtype)
+        beta = xf_where(r < one, xf_mul(r, r), r)
         beta_inf = XF.from_float(cfg.beta_infeasible, k=k, dtype=dtype)
         beta_fea = XF.from_float(cfg.beta_feasible, k=k, dtype=dtype)
-        one = XF.ones((), k=k, dtype=dtype)
         beta_c = xf_where(
             pd_feas,
-            xf_where(
-                xf_max(beta_fea, beta) < one, xf_max(beta_fea, beta), one
-            ),
+            xf_min(xf_max(beta_fea, beta), one),
             xf_max(beta_inf, beta),
         )
         mu_c = xf_mul(beta_c, mu)
-
-        # corrector direction with second-order R (MPMP.jl:840-858)
         R2 = compute_residual_R(X, Y, mu_c, info, dX, dY)
-        dx, dX, dy, dY = compute_search_direction(
-            problem, P, p, d, R2, X_inv, Y, decomp, cfg.use_lu_schur
-        )
+        return beta_c, R2
 
-        # step lengths
-        alpha_p, ok_p = compute_step_length(X, dX, cfg.gamma, info)
-        alpha_d, ok_d = compute_step_length(Y, dY, cfg.gamma, info)
-        ok = ok & ok_p & ok_d
+    @jax.jit
+    def phase_steplength(M, dM):
+        return compute_step_length(M, dM, cfg.gamma, info)
+
+    @jax.jit
+    def phase_update(state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c):
+        x, y, X, Y = state
         both = jnp.minimum(alpha_p, alpha_d)
         alpha_p = jnp.where(pd_feas, both, alpha_p)
         alpha_d = jnp.where(pd_feas, both, alpha_d)
-
-        # updates (MPMP.jl:877-887)
         ap = XF.from_float(alpha_p.astype(dtype), k=k)
         ad = XF.from_float(alpha_d.astype(dtype), k=k)
         x_new = xf_add(x, xf_mul(dx, ap))
@@ -520,7 +477,6 @@ def make_ipm_step(problem: SDPProblem, cfg: SolverConfig):
         X_new = bd_map(lambda Xb, dXb: xf_add(Xb, xf_mul(dXb, ap)), X, dX)
         Y_new = bd_map(lambda Yb, dYb: xf_add(Yb, xf_mul(dYb, ad)), Y, dY)
 
-        # diagnostics for the host loop
         p_obj = compute_primal_objective(problem, x_new)
         d_obj = compute_dual_objective(problem, y_new, Y_new)
         gap = compute_duality_gap(p_obj, d_obj)
@@ -528,7 +484,6 @@ def make_ipm_step(problem: SDPProblem, cfg: SolverConfig):
         p_err = xf_norm_max(p)
         d_err = xf_norm_max(d)
         primal_err = xf_max(P_err, p_err)
-
         diag = dict(
             mu=mu.to_float64(),
             p_obj=p_obj.to_float64(),
@@ -543,11 +498,18 @@ def make_ipm_step(problem: SDPProblem, cfg: SolverConfig):
             alpha_p=alpha_p,
             alpha_d=alpha_d,
             beta_c=beta_c.to_float64(),
-            ok=ok,
         )
         return (x_new, y_new, X_new, Y_new), diag
 
-    return jax.jit(step)
+    return dict(
+        mu_R_Xinv=phase_mu_R_Xinv,
+        decomp=phase_decomp,
+        residuals=phase_residuals,
+        direction=phase_direction,
+        corrector_R=phase_corrector_R,
+        steplength=phase_steplength,
+        update=phase_update,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +548,7 @@ class SolveResult:
     converged: bool
     status: str
     history: List[Dict[str, float]] = field(default_factory=list)
+    timings: Dict[str, float] = field(default_factory=dict)
 
 
 def solverank1sdp(
@@ -620,7 +583,7 @@ def solverank1sdp(
     else:
         state = initial_state(problem, cfg)
 
-    step = make_ipm_step(problem, cfg)
+    phases = make_ipm_phases(problem, cfg)
 
     header = (
         f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'P-obj':>11} {'D-obj':>11} "
@@ -639,19 +602,54 @@ def solverank1sdp(
     primal_err = np.inf
     dual_err = np.inf
     history: List[Dict[str, float]] = []
+    # per-phase wall-clock buckets (reference's timings array, MPMP.jl:738-740;
+    # first 2 iterations excluded as compile time, MPMP.jl:888-898)
+    timings: Dict[str, float] = {}
+
+    def timed(name, fn, *args):
+        t = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        if itn > 2:
+            timings[name] = timings.get(name, 0.0) + time.time() - t
+        return out
 
     while itn < cfg.maxiterations:
         itn += 1
-        state, diag = step(state, jnp.bool_(pd_feas))
-        diag = {kk: np.asarray(v) for kk, v in diag.items()}
-        if not bool(diag["ok"]):
-            status = "numerical_failure"
-            if cfg.verbose:
-                print(
-                    "A factorization failed — escalate precision "
-                    "(reference: 'try again with higher precision', MPMP.jl:793)"
-                )
+        pd = jnp.bool_(pd_feas)
+        mu, R, X_inv, ok_inv = timed("Xinv+R", phases["mu_R_Xinv"], state, pd)
+        if not bool(np.asarray(ok_inv)):
+            status = "numerical_failure:Xinv"
             break
+        decomp = timed("decomp", phases["decomp"], X_inv, state[3])
+        if not bool(np.asarray(decomp["ok"])):
+            status = "numerical_failure:schur_factorization"
+            break
+        P, p, d = timed(
+            "residuals", phases["residuals"], state[0], state[2], state[1], decomp["A_Y"]
+        )
+        dx, dX, dy, dY = timed(
+            "predictor_dir",
+            phases["direction"], P, p, d, R, X_inv, state[3], decomp,
+        )
+        beta_c, R2 = timed(
+            "corrector_R", phases["corrector_R"], state[2], state[3], dX, dY, mu, pd
+        )
+        dx, dX, dy, dY = timed(
+            "corrector_dir",
+            phases["direction"], P, p, d, R2, X_inv, state[3], decomp,
+        )
+        alpha_p, ok_p = timed("alpha", phases["steplength"], state[2], dX)
+        alpha_d, ok_d = timed("alpha", phases["steplength"], state[3], dY)
+        if not (bool(np.asarray(ok_p)) and bool(np.asarray(ok_d))):
+            status = "numerical_failure:steplength"
+            break
+        state, diag = timed(
+            "update",
+            phases["update"],
+            state, dx, dy, dX, dY, alpha_p, alpha_d, pd, P, p, d, mu, beta_c,
+        )
+        diag = {kk: np.asarray(v) for kk, v in diag.items()}
         gap = float(diag["gap_hi"])
         primal_err = float(diag["primal_err_hi"])
         dual_err = float(diag["dual_err_hi"])
@@ -697,10 +695,13 @@ def solverank1sdp(
     time_total = time.time() - t0
     if cfg.verbose:
         print(f"status: {status}  iterations: {itn}  time: {time_total:.2f}s")
+        if timings:
+            # end-of-run phase report (reference MPMP.jl:972-1012)
+            print("time per phase (excl. first 2 iterations):")
+            for name, tval in sorted(timings.items(), key=lambda kv: -kv[1]):
+                print(f"  {name:>14}: {tval:9.3f}s")
 
     x, y, X, Y = state
-    # final residuals for the return bundle
-    jstep = None
     return SolveResult(
         x=x,
         X=X,
@@ -717,4 +718,5 @@ def solverank1sdp(
         converged=converged,
         status=status,
         history=history,
+        timings=timings,
     )
