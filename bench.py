@@ -1,0 +1,129 @@
+"""Benchmark driver: IPM iteration rate on BASELINE.json config 1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Config 1: Delsarte LP bound, dimension 8, polynomial degree 2d=10 —
+single main polynomial cluster + sign clusters (BASELINE.md).  The solve
+runs in double-double (f64 limbs on CPU, f32 limbs on TPU, where f64 is
+non-IEEE emulation).  We measure steady-state IPM iterations/s with the
+fused one-dispatch-per-iteration step, excluding compile.
+
+Baseline: the reference (Julia/Arblib at 512-bit, single process) publishes
+no numbers (SURVEY.md §6); BASELINE.md provisionally pins the reference's
+iteration rate on this config at 2.0 it/s (SDPB-class solvers at 512-bit
+precision on a few-core CPU).  vs_baseline = value / 2.0.
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+BASELINE_ITERS_PER_S = 2.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build_problem(d: int, dtype, k: int = 2):
+    import mpmath
+
+    from clrs_tpu.apps.delsarte import delsarte_lp_bound  # noqa: F401
+    from clrs_tpu.core.blockinfo import get_block_info
+    from clrs_tpu.core.problem import pack_constraints
+    from clrs_tpu.models.bases import gegenbauer_basis
+    from clrs_tpu.models.poly import MPoly, poly_matrix
+    from clrs_tpu.models.prepare import prepareabc
+    from clrs_tpu.models.samples import create_sample_points_chebyshev
+    import numpy as np
+
+    mpmath.mp.prec = 256
+    n = 8
+    deg = 2 * d
+    x = MPoly.var(0, 1)
+    gb = gegenbauer_basis(deg, n, x)
+    M_main = [poly_matrix([[MPoly.constant(-1, 1)]])] + [
+        poly_matrix([[-gb[kk]]]) for kk in range(1, deg + 1)
+    ]
+    ct = mpmath.mpf("0.5")
+    G_main = [MPoly.constant(1, 1), (x + 1) * (MPoly.constant(ct, 1) - x)]
+    q_main = gegenbauer_basis(d, n, x)
+    pts = create_sample_points_chebyshev(deg, -1, ct)
+    cons = [prepareabc(M_main, G_main, q_main, pts, deg)]
+    one = MPoly.constant(1, 1)
+    zero = MPoly.constant(0, 1)
+    for kk in range(1, deg + 1):
+        Mj = [poly_matrix([[zero]])] + [
+            poly_matrix([[one if i == kk else zero]]) for i in range(1, deg + 1)
+        ]
+        cons.append(prepareabc(Mj, [one], [one], [mpmath.mpf(0)], 0))
+    b = [-1.0] * deg
+    info = get_block_info(cons)
+    problem = pack_constraints(cons, b, info=info, k=k, dtype=dtype)
+    return problem, info
+
+
+def main():
+    t_start = time.time()
+    result = None
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        jax.config.update("jax_enable_x64", True)
+        platform = jax.default_backend()
+        dtype = np.float32 if platform == "tpu" else np.float64
+
+        import clrs_tpu.core.solver as S
+
+        d = int(os.environ.get("CLRS_BENCH_D", "5"))  # 2d = 10
+        problem, info = build_problem(d, dtype)
+        cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+        step = S.make_fused_step(problem, cfg)
+        state = S.initial_state(problem, cfg)
+
+        pd = jnp.bool_(False)
+        # warmup: compile + 2 iterations
+        for _ in range(2):
+            state, diag = step(state, pd)
+        jax.block_until_ready(state)
+
+        n_meas = int(os.environ.get("CLRS_BENCH_ITERS", "10"))
+        t0 = time.time()
+        done = 0
+        for _ in range(n_meas):
+            state, diag = step(state, pd)
+            done += 1
+        jax.block_until_ready(state)
+        dt = time.time() - t0
+        rate = done / dt
+        gap = float(np.asarray(diag["gap_hi"]))
+        ok = bool(np.asarray(diag["ok"]))
+        result = {
+            "metric": (
+                f"IPM iterations/s, Delsarte dim-8 2d={2*d}, double-double "
+                f"({platform}, {np.dtype(dtype).name} limbs)"
+            ),
+            "value": round(rate, 3),
+            "unit": "iterations/s",
+            "vs_baseline": round(rate / BASELINE_ITERS_PER_S, 3),
+        }
+        sys.stderr.write(
+            f"[bench] platform={platform} d={d} iters={done} dt={dt:.2f}s "
+            f"gap={gap:.2e} ok={ok} total_wall={time.time()-t_start:.1f}s\n"
+        )
+    except Exception:
+        traceback.print_exc()
+        result = {
+            "metric": "IPM iterations/s, Delsarte dim-8 (bench failed)",
+            "value": 0.0,
+            "unit": "iterations/s",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

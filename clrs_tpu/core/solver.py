@@ -512,6 +512,34 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
     )
 
 
+def make_fused_step(problem: SDPProblem, cfg: SolverConfig):
+    """One whole IPM iteration as a single jitted call.
+
+    For devices reached over a dispatch-latency-heavy path (e.g. a remote
+    TPU), one dispatch per iteration beats the phase-split driver; the
+    phase-split variant compiles faster and gives per-phase timings.
+    Returns a jitted fn: (state, pd_feas) -> (state', diag).
+    """
+    phases = make_ipm_phases(problem, cfg)
+
+    def step(state, pd_feas):
+        mu, R, X_inv, ok_inv = phases["mu_R_Xinv"](state, pd_feas)
+        decomp = phases["decomp"](X_inv, state[3])
+        P, p, d = phases["residuals"](state[0], state[2], state[1], decomp["A_Y"])
+        dx, dX, dy, dY = phases["direction"](P, p, d, R, X_inv, state[3], decomp)
+        beta_c, R2 = phases["corrector_R"](state[2], state[3], dX, dY, mu, pd_feas)
+        dx, dX, dy, dY = phases["direction"](P, p, d, R2, X_inv, state[3], decomp)
+        alpha_p, ok_p = phases["steplength"](state[2], dX)
+        alpha_d, ok_d = phases["steplength"](state[3], dY)
+        new_state, diag = phases["update"](
+            state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c
+        )
+        diag["ok"] = ok_inv & decomp["ok"] & ok_p & ok_d
+        return new_state, diag
+
+    return jax.jit(step)
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------

@@ -161,17 +161,19 @@ def _vec_sum_err_branch(terms, k: int):
     return out
 
 
-def _renorm(terms, k: int):
+def _renorm(terms, k: int, passes: int = 2):
     """Exact-sum compression of arbitrary terms into k limbs.
 
-    Two VecSum passes handle unordered inputs (each pass is exact); the
-    branch pass then extracts nonoverlapping limbs.
+    VecSum passes handle unordered inputs (each pass is exact); the branch
+    pass then extracts nonoverlapping limbs.  Two passes for fully
+    unordered inputs; one pass suffices when terms are roughly
+    magnitude-ordered (as in the structured products of xf_mul).
     """
     terms = [t for t in terms]
     if len(terms) == 1:
         return terms + [jnp.zeros_like(terms[0])] * (k - 1)
-    terms = _vec_sum(terms)
-    terms = _vec_sum(terms)
+    for _ in range(passes):
+        terms = _vec_sum(terms)
     out = _vec_sum_err_branch(terms, k)
     return out
 
@@ -413,26 +415,27 @@ def xf_mul(a: XF, b: XF) -> XF:
         return XF.from_limb_list([al[0] * bl[0]])
     if a.k == 2 and b.k == 2:
         return _dd_mul(al, bl)
-    # generic truncated multiplication: products with order i+j < k exactly
-    # (with error terms), order i+j == k as plain products; renormalize.
+    # generic truncated multiplication: exact products (with error terms)
+    # for orders i+j <= k-2; plain products for orders k-1 and k, whose
+    # rounding errors sit at/below the ulp of the last kept limb.
     terms = []
-    for o in range(k):  # order = i + j
+    for o in range(k - 1):  # order = i + j
         for i in range(o + 1):
             j = o - i
             if i < a.k and j < b.k:
                 p, e = two_prod(al[i], bl[j])
                 terms.append(p)
                 terms.append(e)
-    o = k
     cheap = None
-    for i in range(o + 1):
-        j = o - i
-        if i < a.k and j < b.k:
-            t = al[i] * bl[j]
-            cheap = t if cheap is None else cheap + t
+    for o in (k - 1, k):
+        for i in range(o + 1):
+            j = o - i
+            if i < a.k and j < b.k:
+                t = al[i] * bl[j]
+                cheap = t if cheap is None else cheap + t
     if cheap is not None:
         terms.append(cheap)
-    return XF.from_limb_list(_renorm(terms, k))
+    return XF.from_limb_list(_renorm(terms, k, passes=2))
 
 
 def _dd_mul(al, bl) -> XF:
