@@ -384,6 +384,10 @@ def xf_add(a: XF, b: XF) -> XF:
         return XF.from_limb_list([al[0] + bl[0]])
     if a.k == 2 and b.k == 2:
         return _dd_add(al, bl)
+    if a.k == 3 and b.k == 3:
+        return _td_add(al, bl)
+    if a.k == 4 and b.k == 4:
+        return _qw_add(al, bl)
     # generic: interleave and renormalize (exact-sum, faithful rounding)
     terms = []
     for i in range(max(a.k, b.k)):
@@ -405,6 +409,87 @@ def _dd_add(al, bl) -> XF:
     return XF.from_limb_list([hi, lo])
 
 
+def _td_add(al, bl) -> XF:
+    """Triple-word add (branchless, Fabiano-Muller-Picot style, ~45 flops).
+
+    Exact transforms per order, low-order terms folded with plain adds
+    whose errors sit at ~2^-3p relative — below the last limb's ulp.
+    """
+    s0, e0 = two_sum(al[0], bl[0])
+    s1, e1 = two_sum(al[1], bl[1])
+    s2 = al[2] + bl[2]
+    t1, t2 = two_sum(s1, e0)
+    o2 = (s2 + e1) + t2
+    r0, u = two_sum(s0, t1)
+    r1, r2 = two_sum(u, o2)
+    return XF.from_limb_list([r0, r1, r2])
+
+
+def _td_mul(al, bl) -> XF:
+    """Triple-word multiply (3 two_prods + folds, ~110 flops)."""
+    p00, e00 = two_prod(al[0], bl[0])
+    p01, e01 = two_prod(al[0], bl[1])
+    p10, e10 = two_prod(al[1], bl[0])
+    o2 = ((al[0] * bl[2] + al[2] * bl[0]) + al[1] * bl[1]) + (e01 + e10)
+    t1, t2 = two_sum(p01, p10)
+    t1, t3 = two_sum(t1, e00)
+    o2t = o2 + (t2 + t3)
+    r0, u = two_sum(p00, t1)
+    r1, r2 = two_sum(u, o2t)
+    return XF.from_limb_list([r0, r1, r2])
+
+
+def _qw_add(al, bl) -> XF:
+    """Quad-word add: exact transforms per order with cascaded combine."""
+    s0, e0 = two_sum(al[0], bl[0])
+    s1, e1 = two_sum(al[1], bl[1])
+    s2, e2 = two_sum(al[2], bl[2])
+    s3 = al[3] + bl[3]
+    # fold order-1
+    t1, f1 = two_sum(s1, e0)
+    # fold order-2
+    u2, f2 = two_sum(s2, e1)
+    u2, f3 = two_sum(u2, f1)
+    # fold order-3 (plain)
+    o3 = ((s3 + e2) + f2) + f3
+    # renormalize
+    r0, a1 = two_sum(s0, t1)
+    r1, a2 = two_sum(a1, u2)
+    r2, r3 = two_sum(a2, o3)
+    return XF.from_limb_list([r0, r1, r2, r3])
+
+
+def _qw_mul(al, bl) -> XF:
+    """Quad-word multiply: exact products to order 2, folds above."""
+    p00, q00 = two_prod(al[0], bl[0])
+    p01, q01 = two_prod(al[0], bl[1])
+    p10, q10 = two_prod(al[1], bl[0])
+    p02, q02 = two_prod(al[0], bl[2])
+    p11, q11 = two_prod(al[1], bl[1])
+    p20, q20 = two_prod(al[2], bl[0])
+    o3 = (
+        (al[0] * bl[3] + al[3] * bl[0])
+        + (al[1] * bl[2] + al[2] * bl[1])
+        + ((q02 + q11) + q20)
+    )
+    # order-1 combine
+    t1, f1 = two_sum(p01, p10)
+    t1, f2 = two_sum(t1, q00)
+    # order-2 combine
+    u2, g1 = two_sum(p02, p11)
+    u2, g2 = two_sum(u2, p20)
+    u2, g3 = two_sum(u2, q01)
+    u2, g4 = two_sum(u2, q10)
+    u2, g5 = two_sum(u2, f1)
+    u2, g6 = two_sum(u2, f2)
+    o3 = o3 + (((g1 + g2) + (g3 + g4)) + (g5 + g6))
+    # renormalize
+    r0, a1 = two_sum(p00, t1)
+    r1, a2 = two_sum(a1, u2)
+    r2, r3 = two_sum(a2, o3)
+    return XF.from_limb_list([r0, r1, r2, r3])
+
+
 def xf_mul(a: XF, b: XF) -> XF:
     a, b = _lift2(a, b)
     k = max(a.k, b.k)
@@ -415,6 +500,10 @@ def xf_mul(a: XF, b: XF) -> XF:
         return XF.from_limb_list([al[0] * bl[0]])
     if a.k == 2 and b.k == 2:
         return _dd_mul(al, bl)
+    if a.k == 3 and b.k == 3:
+        return _td_mul(al, bl)
+    if a.k == 4 and b.k == 4:
+        return _qw_mul(al, bl)
     # generic truncated multiplication: exact products (with error terms)
     # for orders i+j <= k-2; plain products for orders k-1 and k, whose
     # rounding errors sit at/below the ulp of the last kept limb.
