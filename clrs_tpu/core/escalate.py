@@ -77,7 +77,8 @@ def solve_with_escalation(
         )
         if res.converged:
             return res
-        if not res.status.startswith("numerical_failure"):
+        escalatable = res.status.startswith("numerical_failure") or res.status == "stalled"
+        if not escalatable:
             return res  # max_iterations etc. — escalation will not help
         remaining = max(10, remaining - res.iterations)
         state = _reround_state((res.x, res.y, res.X, res.Y), k_ladder[min(rung + 1, len(k_ladder) - 1)])

@@ -87,6 +87,7 @@ class SolverConfig:
     dual_error_threshold: float = 1e-30
     need_primal_feasible: bool = False
     need_dual_feasible: bool = False
+    stall_patience: int = 20  # stop after this many non-improving iterations
     verbose: bool = True
     testing: bool = False  # print early-iteration timings (MPMP.jl:612)
     # numerical degradation ladder (reference: sticky booleans, MPMP.jl:717-718)
@@ -630,6 +631,9 @@ def solverank1sdp(
     primal_err = np.inf
     dual_err = np.inf
     history: List[Dict[str, float]] = []
+    best_merit = np.inf
+    best_state = state
+    stall_count = 0
     # per-phase wall-clock buckets (reference's timings array, MPMP.jl:738-740;
     # first 2 iterations excluded as compile time, MPMP.jl:888-898)
     timings: Dict[str, float] = {}
@@ -647,10 +651,37 @@ def solverank1sdp(
         pd = jnp.bool_(pd_feas)
         mu, R, X_inv, ok_inv = timed("Xinv+R", phases["mu_R_Xinv"], state, pd)
         if not bool(np.asarray(ok_inv)):
+            # sticky degradation ladder (MPMP.jl:762-801): Cholesky-based
+            # SPD inverse failed -> switch to LU for the rest of the run
+            if not cfg.use_lu_inverse:
+                if cfg.verbose:
+                    print(
+                        "X^-1 Cholesky failed — switching to LU inverse "
+                        "(reference ladder, MPMP.jl:774-786)"
+                    )
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, use_lu_inverse=True)
+                phases = make_ipm_phases(problem, cfg)
+                itn -= 1
+                continue
             status = "numerical_failure:Xinv"
             break
         decomp = timed("decomp", phases["decomp"], X_inv, state[3])
         if not bool(np.asarray(decomp["ok"])):
+            # Schur Cholesky failed -> sticky LU (MPMP.jl:1429-1441 note)
+            if not cfg.use_lu_schur:
+                if cfg.verbose:
+                    print(
+                        "Schur Cholesky failed — switching to LU "
+                        "factorization for S and Q"
+                    )
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, use_lu_schur=True)
+                phases = make_ipm_phases(problem, cfg)
+                itn -= 1
+                continue
             status = "numerical_failure:schur_factorization"
             break
         P, p, d = timed(
@@ -703,6 +734,29 @@ def solverank1sdp(
                 f"{row['P_err']:10.2e} {row['p_err']:10.2e} {row['d_err']:10.2e} "
                 f"{row['alpha_p']:10.2e} {row['alpha_d']:10.2e} {row['beta']:10.2e}"
             )
+
+        # stall safeguard (not in the reference, which loops to
+        # maxiterations, MPMP.jl:742-753): once progress stops — the
+        # precision floor reached or the system degenerate — keep the best
+        # iterate and stop instead of iterating into breakdown.
+        merit = max(gap, primal_err, dual_err)
+        if not np.isfinite(merit):
+            merit = np.inf
+        if merit < best_merit * 0.9:
+            best_merit = merit
+            best_state = state
+            stall_count = 0
+        else:
+            stall_count += 1
+        if stall_count >= cfg.stall_patience:
+            status = "stalled"
+            state = best_state
+            if cfg.verbose:
+                print(
+                    f"no progress for {cfg.stall_patience} iterations — "
+                    "returning best iterate (escalate precision to go further)"
+                )
+            break
 
         primal_feas = primal_err < cfg.primal_error_threshold
         dual_feas = dual_err < cfg.dual_error_threshold
