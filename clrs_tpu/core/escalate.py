@@ -59,6 +59,16 @@ def solve_with_escalation(
     """
     state = ()
     res = None
+    best = None
+
+    def merit(r):
+        if not r.history:
+            return float("inf")
+        return min(
+            max(abs(h["gap"]), h["P_err"], h["p_err"], h["d_err"])
+            for h in r.history
+        )
+
     remaining = kwargs.pop("maxiterations", 500)
     for rung, k in enumerate(k_ladder):
         if verbose and rung > 0:
@@ -77,9 +87,11 @@ def solve_with_escalation(
         )
         if res.converged:
             return res
+        if best is None or merit(res) < merit(best):
+            best = res
         escalatable = res.status.startswith("numerical_failure") or res.status == "stalled"
         if not escalatable:
-            return res  # max_iterations etc. — escalation will not help
+            break  # max_iterations etc. — escalation will not help
         remaining = max(10, remaining - res.iterations)
         state = _reround_state((res.x, res.y, res.X, res.Y), k_ladder[min(rung + 1, len(k_ladder) - 1)])
-    return res
+    return best if best is not None else res

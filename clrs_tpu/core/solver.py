@@ -633,6 +633,7 @@ def solverank1sdp(
     history: List[Dict[str, float]] = []
     best_merit = np.inf
     best_state = state
+    best_row = None
     stall_count = 0
     # per-phase wall-clock buckets (reference's timings array, MPMP.jl:738-740;
     # first 2 iterations excluded as compile time, MPMP.jl:888-898)
@@ -745,6 +746,7 @@ def solverank1sdp(
         if merit < best_merit * 0.9:
             best_merit = merit
             best_state = state
+            best_row = row
             stall_count = 0
         else:
             stall_count += 1
@@ -774,6 +776,13 @@ def solverank1sdp(
             converged = True
             break
 
+    if (
+        status.startswith("numerical_failure") or status == "stalled"
+    ) and best_row is not None:
+        # hand back the best iterate (and its metrics), not the broken one
+        state = best_state
+        gap = best_row["gap"]
+
     time_total = time.time() - t0
     if cfg.verbose:
         print(f"status: {status}  iterations: {itn}  time: {time_total:.2f}s")
@@ -782,6 +791,12 @@ def solverank1sdp(
             print("time per phase (excl. first 2 iterations):")
             for name, tval in sorted(timings.items(), key=lambda kv: -kv[1]):
                 print(f"  {name:>14}: {tval:9.3f}s")
+
+    report_row = history[-1] if history else None
+    if (
+        status.startswith("numerical_failure") or status == "stalled"
+    ) and best_row is not None:
+        report_row = best_row
 
     x, y, X, Y = state
     return SolveResult(
@@ -793,8 +808,8 @@ def solverank1sdp(
         p=None,
         d=None,
         dual_gap=gap,
-        primal_objective=history[-1]["p_obj"] if history else float("nan"),
-        dual_objective=history[-1]["d_obj"] if history else float("nan"),
+        primal_objective=report_row["p_obj"] if report_row else float("nan"),
+        dual_objective=report_row["d_obj"] if report_row else float("nan"),
         time_total=time_total,
         iterations=itn,
         converged=converged,
