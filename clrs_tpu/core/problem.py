@@ -59,13 +59,15 @@ class SDPProblem:
     C_blocks: Optional[Any]  # block-diag cost matrix or None (AbsoluteZero)
     b0: XF  # scalar constant objective offset
     info: BlockInfo
+    x_sigma: Optional[XF] = None  # per-tuple equilibration scale (see
+    # pack_constraints): x_user = x_internal / x_sigma
 
     def tree_flatten(self):
-        return (self.clusters, self.b, self.C_blocks, self.b0), self.info
+        return (self.clusters, self.b, self.C_blocks, self.b0, self.x_sigma), self.info
 
     @classmethod
     def tree_unflatten(cls, info, children):
-        return cls(children[0], children[1], children[2], children[3], info)
+        return cls(children[0], children[1], children[2], children[3], info, children[4])
 
 
 def pack_constraints(
@@ -76,6 +78,7 @@ def pack_constraints(
     b0=0,
     k: int = 2,
     dtype=np.float64,
+    equilibrate: bool = True,
 ) -> SDPProblem:
     """Pack reference-format constraint tuples (A, B, c, H) into an
     SDPProblem.  Inputs may be mpmath scalars, floats or numpy arrays.
@@ -83,15 +86,41 @@ def pack_constraints(
     This is the bridge between the host front-end (prepareabc) and the
     device solver — the analogue of the reference passing `abc` into
     solverank1sdp (MPMP.jl:585).
+
+    equilibrate: rescale each constraint matrix A_(r,s,k) -> A/sigma_k with
+    sigma_k = sum_l sum_rnk |H| ||v||^2 (its trace scale), compensating in
+    B, c (rows /sigma) and in the returned x (x_user = x_internal / sigma).
+    The dual (y, Y) is unchanged.  Polynomial-basis data like the
+    reference's sphere-packing example spans ~1e11 element scales
+    (Laguerre values at rescaled sample points); without equilibration
+    cond(S) starts at ~1e22 and exhausts double-double immediately —
+    the reference instead absorbs this with 512-bit arithmetic.
     """
+    import mpmath
+
     if info is None:
         info = get_block_info(constraints)
     clusters = []
+    sigmas = []  # per-cluster (dim_S,) scaling used on A/B/c rows
     for j in range(info.J):
         A, B, c, H = constraints[j][:4]
+        K = info.n_samples[j]
+        # sigma per sample k: trace scale of A_(r,s,k)
+        if equilibrate:
+            sig_k = []
+            for kk in range(K):
+                s = mpmath.mpf(0)
+                for l in range(info.L[j]):
+                    for rnk in range(len(A[l][kk])):
+                        col = np.asarray(A[l][kk][rnk], dtype=object).reshape(-1)
+                        nrm2 = mpmath.fsum([mpmath.mpf(v) ** 2 for v in col])
+                        s += abs(mpmath.mpf(H[l][kk][rnk])) * nrm2
+                sig_k.append(s if s > 0 else mpmath.mpf(1))
+        else:
+            sig_k = [mpmath.mpf(1)] * K
+
         Vs, Hs = [], []
         for l in range(info.L[j]):
-            K = info.n_samples[j]
             rmax = info.rmax[j][l]
             delta = info.delta[j][l]
             Vmat = np.zeros((delta, K * rmax), dtype=object)
@@ -106,14 +135,30 @@ def pack_constraints(
                     col = np.asarray(vecs[rnk], dtype=object).reshape(-1)
                     assert col.shape[0] == delta, (col.shape, delta)
                     Vmat[:, kk * rmax + rnk] = col
-                    Hvec[kk * rmax + rnk] = ws[rnk]
+                    Hvec[kk * rmax + rnk] = mpmath.mpf(ws[rnk]) / sig_k[kk]
             Vs.append(xf_from_mp(Vmat, k=k, dtype=dtype))
             Hs.append(xf_from_mp(Hvec, k=k, dtype=dtype))
-        Bx = xf_from_mp(np.asarray(B, dtype=object), k=k, dtype=dtype)
-        cx = xf_from_mp(np.asarray(c, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
+        # scale B and c rows (tuple order (r, s<=r, k), k fastest)
+        B = np.asarray(B, dtype=object).copy()
+        c = np.asarray(c, dtype=object).reshape(-1).copy()
+        npairs = info.n_pairs(j)
+        sigma_rows = np.empty((info.dim_S[j],), dtype=object)
+        for p in range(npairs):
+            for kk in range(K):
+                row = p * K + kk
+                sigma_rows[row] = sig_k[kk]
+                if equilibrate:
+                    B[row, :] = [mpmath.mpf(v) / sig_k[kk] for v in B[row, :]]
+                    c[row] = mpmath.mpf(c[row]) / sig_k[kk]
+        Bx = xf_from_mp(B, k=k, dtype=dtype)
+        cx = xf_from_mp(c.reshape(-1, 1), k=k, dtype=dtype)
         clusters.append(ClusterData(tuple(Vs), tuple(Hs), Bx, cx))
+        sigmas.append(sigma_rows)
     bx = xf_from_mp(np.asarray(b, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
     assert bx.shape[0] == info.n_y, (bx.shape, info.n_y)
+    sigma_all = xf_from_mp(
+        np.concatenate(sigmas).reshape(-1, 1), k=k, dtype=dtype
+    )
     C_blocks = None
     if C is not None and not (np.isscalar(C) and C == 0):
         C_blocks = [
@@ -121,7 +166,7 @@ def pack_constraints(
             for Cj in C
         ]
     b0x = xf_from_mp(np.asarray(b0, dtype=object).reshape(()), k=k, dtype=dtype)
-    return SDPProblem(tuple(clusters), bx, C_blocks, b0x, info)
+    return SDPProblem(tuple(clusters), bx, C_blocks, b0x, info, sigma_all)
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,7 @@ class SolverConfig:
     dual_error_threshold: float = 1e-30
     need_primal_feasible: bool = False
     need_dual_feasible: bool = False
-    stall_patience: int = 20  # stop after this many non-improving iterations
+    stall_patience: int = 40  # stop after this many non-improving iterations
     verbose: bool = True
     testing: bool = False  # print early-iteration timings (MPMP.jl:612)
     # numerical degradation ladder (reference: sticky booleans, MPMP.jl:717-718)
@@ -609,6 +609,11 @@ def solverank1sdp(
 
     if len(initial_solutions) == 4:
         state = tuple(initial_solutions)
+        if problem.x_sigma is not None:
+            # user-facing x -> internal equilibrated scaling
+            from clrs_tpu.ops.xfloat import xf_mul as _xf_mul
+
+            state = (_xf_mul(state[0], problem.x_sigma),) + tuple(state[1:])
     else:
         state = initial_state(problem, cfg)
 
@@ -743,7 +748,7 @@ def solverank1sdp(
         merit = max(gap, primal_err, dual_err)
         if not np.isfinite(merit):
             merit = np.inf
-        if merit < best_merit * 0.9:
+        if merit < best_merit:
             best_merit = merit
             best_state = state
             best_row = row
@@ -799,6 +804,9 @@ def solverank1sdp(
         report_row = best_row
 
     x, y, X, Y = state
+    if problem.x_sigma is not None:
+        # internal equilibrated x -> user-facing scaling
+        x = xf_div(x, problem.x_sigma)
     return SolveResult(
         x=x,
         X=X,

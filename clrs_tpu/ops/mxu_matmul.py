@@ -40,12 +40,20 @@ def _default_slices(k: int, limb_dtype) -> int:
 
 
 def _row_exponents(a: XF, axis: int) -> jnp.ndarray:
-    """Power-of-two scale of the max |entry| along `axis` (hi limbs)."""
+    """Power-of-two scale of the max |entry| along `axis` (hi limbs).
+
+    frexp lowers to 64-bit bitcasts that the TPU x64 rewriter rejects, so
+    the exponent comes from an approximate log2 corrected by one exact
+    comparison (scaling by 2^e itself is exact via ldexp).
+    """
     mx = jnp.max(jnp.abs(a.limbs[0]), axis=axis)
     mx = jnp.where(mx > 0, mx, 1.0)
-    # exponent e with mx <= 2^e  (frexp: mx = f * 2^e, 0.5 <= f < 1)
-    _, e = jnp.frexp(mx)
-    return e.astype(jnp.int32)
+    e = jnp.floor(jnp.log2(mx)).astype(jnp.int32) + 1
+    # correct off-by-one from log2 rounding: want mx * 2^-e <= 1 < mx * 2^-(e-1)
+    scaled = mx * jnp.ldexp(jnp.ones_like(mx), -e)
+    e = jnp.where(scaled > 1.0, e + 1, e)
+    e = jnp.where(scaled <= 0.5, e - 1, e)
+    return e
 
 
 def _slice_int(a: XF, e: jnp.ndarray, axis: int, slices: int):

@@ -617,8 +617,9 @@ def xf_min(a: XF, b: XF) -> XF:
 
 
 def xf_ldexp(a: XF, e) -> XF:
-    """Exact scaling by 2^e (e int)."""
-    scale = jnp.asarray(2.0, dtype=a.dtype) ** jnp.asarray(e)
+    """Exact scaling by 2^e (e int, scalar or broadcastable array)."""
+    e = jnp.asarray(e)
+    scale = jnp.ldexp(jnp.ones(e.shape, dtype=a.dtype), e)
     return XF(a.limbs * scale)
 
 
