@@ -79,6 +79,7 @@ def pack_constraints(
     k: int = 2,
     dtype=np.float64,
     equilibrate: bool = True,
+    orthonormalize: bool = True,
 ) -> SDPProblem:
     """Pack reference-format constraint tuples (A, B, c, H) into an
     SDPProblem.  Inputs may be mpmath scalars, floats or numpy arrays.
@@ -105,28 +106,16 @@ def pack_constraints(
     for j in range(info.J):
         A, B, c, H = constraints[j][:4]
         K = info.n_samples[j]
-        # sigma per sample k: trace scale of A_(r,s,k)
-        if equilibrate:
-            sig_k = []
-            for kk in range(K):
-                s = mpmath.mpf(0)
-                for l in range(info.L[j]):
-                    for rnk in range(len(A[l][kk])):
-                        col = np.asarray(A[l][kk][rnk], dtype=object).reshape(-1)
-                        nrm2 = mpmath.fsum([mpmath.mpf(v) ** 2 for v in col])
-                        s += abs(mpmath.mpf(H[l][kk][rnk])) * nrm2
-                sig_k.append(s if s > 0 else mpmath.mpf(1))
-        else:
-            sig_k = [mpmath.mpf(1)] * K
 
-        Vs, Hs = [], []
+        # collect padded V object matrices and raw weights per inner block
+        Vmats, Hvecs = [], []
         for l in range(info.L[j]):
             rmax = info.rmax[j][l]
             delta = info.delta[j][l]
             Vmat = np.zeros((delta, K * rmax), dtype=object)
             Hvec = np.zeros((K * rmax,), dtype=object)
-            Vmat[...] = 0
-            Hvec[...] = 0
+            Vmat[...] = mpmath.mpf(0)
+            Hvec[...] = mpmath.mpf(0)
             for kk in range(K):
                 vecs = A[l][kk]
                 ws = H[l][kk]
@@ -134,9 +123,70 @@ def pack_constraints(
                 for rnk in range(len(vecs)):
                     col = np.asarray(vecs[rnk], dtype=object).reshape(-1)
                     assert col.shape[0] == delta, (col.shape, delta)
-                    Vmat[:, kk * rmax + rnk] = col
-                    Hvec[kk * rmax + rnk] = mpmath.mpf(ws[rnk]) / sig_k[kk]
-            Vs.append(xf_from_mp(Vmat, k=k, dtype=dtype))
+                    Vmat[:, kk * rmax + rnk] = [mpmath.mpf(v) for v in col]
+                    Hvec[kk * rmax + rnk] = mpmath.mpf(ws[rnk])
+            Vmats.append(Vmat)
+            Hvecs.append(Hvec)
+
+        if orthonormalize:
+            # per-(j,l) sampled-basis orthonormalization (SDPB's
+            # bilinear-basis conditioning, done numerically): replace
+            # V <- L^-1 V where L L^T = V V^T (+ tiny ridge).  An exact
+            # congruence reparameterization of the PSD blocks — x, B, c,
+            # y and both objectives are invariant; it removes the
+            # Vandermonde-type conditioning of raw polynomial samples,
+            # which otherwise puts cond(S) at ~cond(basis)^2 (~1e22 for
+            # the reference's sphere-packing data at 2d=16).
+            for l in range(info.L[j]):
+                Vmat = Vmats[l]
+                delta = Vmat.shape[0]
+                Gm = mpmath.matrix(delta, delta)
+                for i in range(delta):
+                    for jj in range(delta):
+                        Gm[i, jj] = mpmath.fsum(
+                            Vmat[i, t] * Vmat[jj, t] for t in range(Vmat.shape[1])
+                        )
+                ridge = mpmath.mpf(10) ** (-2 * mpmath.mp.dps + 10)
+                tr = mpmath.fsum(Gm[i, i] for i in range(delta))
+                for i in range(delta):
+                    Gm[i, i] += ridge * (tr if tr > 0 else 1)
+                L = mpmath.cholesky(Gm)
+                # forward substitution: V <- L^-1 V
+                for t in range(Vmat.shape[1]):
+                    colv = [Vmat[i, t] for i in range(delta)]
+                    for i in range(delta):
+                        s = colv[i]
+                        for jj in range(i):
+                            s -= L[i, jj] * colv[jj]
+                        colv[i] = s / L[i, i]
+                    for i in range(delta):
+                        Vmat[i, t] = colv[i]
+
+        # sigma per sample k: trace scale of A_(r,s,k) (post-transform)
+        if equilibrate:
+            sig_k = []
+            for kk in range(K):
+                s = mpmath.mpf(0)
+                for l in range(info.L[j]):
+                    rmax = info.rmax[j][l]
+                    for rnk in range(rmax):
+                        t = kk * rmax + rnk
+                        nrm2 = mpmath.fsum(
+                            Vmats[l][i, t] ** 2 for i in range(Vmats[l].shape[0])
+                        )
+                        s += abs(Hvecs[l][t]) * nrm2
+                sig_k.append(s if s > 0 else mpmath.mpf(1))
+        else:
+            sig_k = [mpmath.mpf(1)] * K
+
+        Vs, Hs = [], []
+        for l in range(info.L[j]):
+            rmax = info.rmax[j][l]
+            Hvec = Hvecs[l].copy()
+            for kk in range(K):
+                for rnk in range(rmax):
+                    Hvec[kk * rmax + rnk] = Hvec[kk * rmax + rnk] / sig_k[kk]
+            Vs.append(xf_from_mp(Vmats[l], k=k, dtype=dtype))
             Hs.append(xf_from_mp(Hvec, k=k, dtype=dtype))
         # scale B and c rows (tuple order (r, s<=r, k), k fastest)
         B = np.asarray(B, dtype=object).copy()

@@ -46,11 +46,13 @@ def _row_exponents(a: XF, axis: int) -> jnp.ndarray:
     the exponent comes from an approximate log2 corrected by one exact
     comparison (scaling by 2^e itself is exact via ldexp).
     """
+    from clrs_tpu.ops.xfloat import pow2
+
     mx = jnp.max(jnp.abs(a.limbs[0]), axis=axis)
     mx = jnp.where(mx > 0, mx, 1.0)
     e = jnp.floor(jnp.log2(mx)).astype(jnp.int32) + 1
     # correct off-by-one from log2 rounding: want mx * 2^-e <= 1 < mx * 2^-(e-1)
-    scaled = mx * jnp.ldexp(jnp.ones_like(mx), -e)
+    scaled = mx * pow2(-e, mx.dtype)
     e = jnp.where(scaled > 1.0, e + 1, e)
     e = jnp.where(scaled <= 0.5, e - 1, e)
     return e

@@ -616,11 +616,26 @@ def xf_min(a: XF, b: XF) -> XF:
     return xf_where(xf_lt(a, b), a, b)
 
 
+def pow2(e, dtype):
+    """Exact 2^e for int array e by exponent-bit construction.
+
+    jnp.ldexp/frexp lower through 64-bit bitcasts the TPU x64 rewriter
+    rejects, so build the float directly.  e must lie in the normal
+    exponent range (clamped: [-126, 127] for f32, [-1022, 1023] for f64).
+    """
+    e = jnp.asarray(e)
+    if dtype == jnp.float32:
+        ec = jnp.clip(e.astype(jnp.int32), -126, 127)
+        bits = (ec + 127) << 23
+        return jax.lax.bitcast_convert_type(bits.astype(jnp.int32), jnp.float32)
+    ec = jnp.clip(e.astype(jnp.int64), -1022, 1023)
+    bits = (ec + 1023) << 52
+    return jax.lax.bitcast_convert_type(bits, jnp.float64)
+
+
 def xf_ldexp(a: XF, e) -> XF:
     """Exact scaling by 2^e (e int, scalar or broadcastable array)."""
-    e = jnp.asarray(e)
-    scale = jnp.ldexp(jnp.ones(e.shape, dtype=a.dtype), e)
-    return XF(a.limbs * scale)
+    return XF(a.limbs * pow2(e, a.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -64,7 +64,11 @@ def test_sharded_matches_reference_solver(problem):
         H = [[[1.0] for _ in range(shape.K)]]
         cons.append((A, B[j].astype(object), c[j].astype(object), H))
     info = get_block_info(cons)
-    problem_g = pack_constraints(cons, b, info=info)
+    # the sharded path consumes raw V/H data, so pack without the setup
+    # reparameterizations (they change the iterates, not the problem)
+    problem_g = pack_constraints(
+        cons, b, info=info, equilibrate=False, orthonormalize=False
+    )
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
     phases = S.make_ipm_phases(problem_g, cfg)
     st = S.initial_state(problem_g, cfg)
