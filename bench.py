@@ -85,16 +85,24 @@ def main():
         state = S.initial_state(problem, cfg)
 
         pd = jnp.bool_(False)
-        # warmup: compile + 2 iterations
-        for _ in range(2):
-            state, diag = step(state, pd)
-        jax.block_until_ready(state)
+        # warmup: compile + 2 iterations (with retry: the remote TPU
+        # compile helper can be killed under memory pressure)
+        for attempt in range(3):
+            try:
+                for _ in range(2):
+                    state, diag = step(problem, state, pd)
+                jax.block_until_ready(state)
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(10)
 
         n_meas = int(os.environ.get("CLRS_BENCH_ITERS", "10"))
         t0 = time.time()
         done = 0
         for _ in range(n_meas):
-            state, diag = step(state, pd)
+            state, diag = step(problem, state, pd)
             done += 1
         jax.block_until_ready(state)
         dt = time.time() - t0

@@ -416,7 +416,7 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
     Ktot = info.total_psd_size
 
     @jax.jit
-    def phase_mu_R_Xinv(state, pd_feas):
+    def phase_mu_R_Xinv(problem, state, pd_feas):
         x, y, X, Y = state
         mu = xf_div(bd_dot(X, Y), XF.from_float(float(Ktot), k=k, dtype=dtype))
         zero = XF.zeros((), k=k, dtype=dtype)
@@ -426,15 +426,15 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
         return mu, R, X_inv, ok_inv
 
     @jax.jit
-    def phase_decomp(X_inv, Y):
+    def phase_decomp(problem, X_inv, Y):
         return compute_decomposition(problem, X_inv, Y, cfg.use_lu_schur)
 
     @jax.jit
-    def phase_residuals(x, X, y, A_Y):
+    def phase_residuals(problem, x, X, y, A_Y):
         return compute_residuals(problem, x, X, y, A_Y)
 
     @jax.jit
-    def phase_direction(P, p, d, R, X_inv, Y, decomp):
+    def phase_direction(problem, P, p, d, R, X_inv, Y, decomp):
         return compute_search_direction(
             problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur
         )
@@ -466,7 +466,7 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
         return compute_step_length(M, dM, cfg.gamma, info)
 
     @jax.jit
-    def phase_update(state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c):
+    def phase_update(problem, state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c):
         x, y, X, Y = state
         both = jnp.minimum(alpha_p, alpha_d)
         alpha_p = jnp.where(pd_feas, both, alpha_p)
@@ -523,17 +523,17 @@ def make_fused_step(problem: SDPProblem, cfg: SolverConfig):
     """
     phases = make_ipm_phases(problem, cfg)
 
-    def step(state, pd_feas):
-        mu, R, X_inv, ok_inv = phases["mu_R_Xinv"](state, pd_feas)
-        decomp = phases["decomp"](X_inv, state[3])
-        P, p, d = phases["residuals"](state[0], state[2], state[1], decomp["A_Y"])
-        dx, dX, dy, dY = phases["direction"](P, p, d, R, X_inv, state[3], decomp)
+    def step(problem, state, pd_feas):
+        mu, R, X_inv, ok_inv = phases["mu_R_Xinv"](problem, state, pd_feas)
+        decomp = phases["decomp"](problem, X_inv, state[3])
+        P, p, d = phases["residuals"](problem, state[0], state[2], state[1], decomp["A_Y"])
+        dx, dX, dy, dY = phases["direction"](problem, P, p, d, R, X_inv, state[3], decomp)
         beta_c, R2 = phases["corrector_R"](state[2], state[3], dX, dY, mu, pd_feas)
-        dx, dX, dy, dY = phases["direction"](P, p, d, R2, X_inv, state[3], decomp)
+        dx, dX, dy, dY = phases["direction"](problem, P, p, d, R2, X_inv, state[3], decomp)
         alpha_p, ok_p = phases["steplength"](state[2], dX)
         alpha_d, ok_d = phases["steplength"](state[3], dY)
         new_state, diag = phases["update"](
-            state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c
+            problem, state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c
         )
         diag["ok"] = ok_inv & decomp["ok"] & ok_p & ok_d
         return new_state, diag
@@ -655,7 +655,7 @@ def solverank1sdp(
     while itn < cfg.maxiterations:
         itn += 1
         pd = jnp.bool_(pd_feas)
-        mu, R, X_inv, ok_inv = timed("Xinv+R", phases["mu_R_Xinv"], state, pd)
+        mu, R, X_inv, ok_inv = timed("Xinv+R", phases["mu_R_Xinv"], problem, state, pd)
         if not bool(np.asarray(ok_inv)):
             # sticky degradation ladder (MPMP.jl:762-801): Cholesky-based
             # SPD inverse failed -> switch to LU for the rest of the run
@@ -673,7 +673,7 @@ def solverank1sdp(
                 continue
             status = "numerical_failure:Xinv"
             break
-        decomp = timed("decomp", phases["decomp"], X_inv, state[3])
+        decomp = timed("decomp", phases["decomp"], problem, X_inv, state[3])
         if not bool(np.asarray(decomp["ok"])):
             # Schur Cholesky failed -> sticky LU (MPMP.jl:1429-1441 note)
             if not cfg.use_lu_schur:
@@ -691,18 +691,18 @@ def solverank1sdp(
             status = "numerical_failure:schur_factorization"
             break
         P, p, d = timed(
-            "residuals", phases["residuals"], state[0], state[2], state[1], decomp["A_Y"]
+            "residuals", phases["residuals"], problem, state[0], state[2], state[1], decomp["A_Y"]
         )
         dx, dX, dy, dY = timed(
             "predictor_dir",
-            phases["direction"], P, p, d, R, X_inv, state[3], decomp,
+            phases["direction"], problem, P, p, d, R, X_inv, state[3], decomp,
         )
         beta_c, R2 = timed(
             "corrector_R", phases["corrector_R"], state[2], state[3], dX, dY, mu, pd
         )
         dx, dX, dy, dY = timed(
             "corrector_dir",
-            phases["direction"], P, p, d, R2, X_inv, state[3], decomp,
+            phases["direction"], problem, P, p, d, R2, X_inv, state[3], decomp,
         )
         alpha_p, ok_p = timed("alpha", phases["steplength"], state[2], dX)
         alpha_d, ok_d = timed("alpha", phases["steplength"], state[3], dY)
@@ -712,7 +712,7 @@ def solverank1sdp(
         state, diag = timed(
             "update",
             phases["update"],
-            state, dx, dy, dX, dY, alpha_p, alpha_d, pd, P, p, d, mu, beta_c,
+            problem, state, dx, dy, dX, dY, alpha_p, alpha_d, pd, P, p, d, mu, beta_c,
         )
         diag = {kk: np.asarray(v) for kk, v in diag.items()}
         gap = float(diag["gap_hi"])

@@ -73,15 +73,16 @@ def test_sharded_matches_reference_solver(problem):
     phases = S.make_ipm_phases(problem_g, cfg)
     st = S.initial_state(problem_g, cfg)
     pd = jnp.bool_(False)
-    mu, R, X_inv, ok = phases["mu_R_Xinv"](st, pd)
-    decomp = phases["decomp"](X_inv, st[3])
-    P, p, d = phases["residuals"](st[0], st[2], st[1], decomp["A_Y"])
-    dxg, dXg, dyg, dYg = phases["direction"](P, p, d, R, X_inv, st[3], decomp)
+    pr = problem_g
+    mu, R, X_inv, ok = phases["mu_R_Xinv"](pr, st, pd)
+    decomp = phases["decomp"](pr, X_inv, st[3])
+    P, p, d = phases["residuals"](pr, st[0], st[2], st[1], decomp["A_Y"])
+    dxg, dXg, dyg, dYg = phases["direction"](pr, P, p, d, R, X_inv, st[3], decomp)
     beta_c, R2 = phases["corrector_R"](st[2], st[3], dXg, dYg, mu, pd)
-    dxg, dXg, dyg, dYg = phases["direction"](P, p, d, R2, X_inv, st[3], decomp)
+    dxg, dXg, dyg, dYg = phases["direction"](pr, P, p, d, R2, X_inv, st[3], decomp)
     ap, _ = phases["steplength"](st[2], dXg)
     ad, _ = phases["steplength"](st[3], dYg)
-    st2, diag = phases["update"](st, dxg, dyg, dXg, dYg, ap, ad, pd, P, p, d, mu, beta_c)
+    st2, diag = phases["update"](pr, st, dxg, dyg, dXg, dYg, ap, ad, pd, P, p, d, mu, beta_c)
 
     # compare y after one step
     y_sharded = np.asarray(s1[1].limbs[0]).ravel()
