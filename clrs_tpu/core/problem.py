@@ -61,13 +61,27 @@ class SDPProblem:
     info: BlockInfo
     x_sigma: Optional[XF] = None  # per-tuple equilibration scale (see
     # pack_constraints): x_user = x_internal / x_sigma
+    y_R_inv: Optional[XF] = None  # y-basis orthonormalization:
+    # y_user = y_R_inv @ y_internal
+    y_R: Optional[XF] = None  # inverse transform for warm starts
 
     def tree_flatten(self):
-        return (self.clusters, self.b, self.C_blocks, self.b0, self.x_sigma), self.info
+        return (
+            self.clusters,
+            self.b,
+            self.C_blocks,
+            self.b0,
+            self.x_sigma,
+            self.y_R_inv,
+            self.y_R,
+        ), self.info
 
     @classmethod
     def tree_unflatten(cls, info, children):
-        return cls(children[0], children[1], children[2], children[3], info, children[4])
+        return cls(
+            children[0], children[1], children[2], children[3], info,
+            children[4], children[5], children[6],
+        )
 
 
 def pack_constraints(
@@ -80,6 +94,7 @@ def pack_constraints(
     dtype=np.float64,
     equilibrate: bool = True,
     orthonormalize: bool = True,
+    orthonormalize_B: bool = True,
 ) -> SDPProblem:
     """Pack reference-format constraint tuples (A, B, c, H) into an
     SDPProblem.  Inputs may be mpmath scalars, floats or numpy arrays.
@@ -200,15 +215,85 @@ def pack_constraints(
                 if equilibrate:
                     B[row, :] = [mpmath.mpf(v) / sig_k[kk] for v in B[row, :]]
                     c[row] = mpmath.mpf(c[row]) / sig_k[kk]
-        Bx = xf_from_mp(B, k=k, dtype=dtype)
-        cx = xf_from_mp(c.reshape(-1, 1), k=k, dtype=dtype)
-        clusters.append(ClusterData(tuple(Vs), tuple(Hs), Bx, cx))
+        clusters.append([tuple(Vs), tuple(Hs), B, c])
         sigmas.append(sigma_rows)
-    bx = xf_from_mp(np.asarray(b, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
-    assert bx.shape[0] == info.n_y, (bx.shape, info.n_y)
+
+    b_mp = [mpmath.mpf(v) for v in np.asarray(b, dtype=object).reshape(-1)]
+    n_y = info.n_y
+    assert len(b_mp) == n_y
+    y_R_inv = None
+    if orthonormalize_B and n_y > 0:
+        # orthonormalize the free-variable basis: stack B over clusters,
+        # QR-factor in mpmath, use B' = Q-hat internally (y' = R y,
+        # b' = R^-T b; objectives and residuals invariant; user y
+        # recovered via y = R^-1 y').  The reference's applications make
+        # B itself a Vandermonde (columns are x^k samples,
+        # examples/SpherePacking.jl:59), putting cond(Q) ~ cond(B)^2
+        # ~1e24 at 2d=16 — fatal below ~512-bit arithmetic.
+        D = sum(info.dim_S)
+        Bt = mpmath.matrix(D, n_y)
+        r0 = 0
+        for j in range(info.J):
+            Bj = clusters[j][2]
+            for i in range(info.dim_S[j]):
+                for jj in range(n_y):
+                    Bt[r0 + i, jj] = mpmath.mpf(Bj[i, jj])
+            r0 += info.dim_S[j]
+        Qh, Rh = mpmath.qr(Bt, mode="reduced")
+        # guard rank: R diagonal must be nonzero
+        for i in range(n_y):
+            if Rh[i, i] == 0:
+                Rh[i, i] = mpmath.mpf(10) ** (-mpmath.mp.dps)
+        # b' = R^-T b  (solve R^T z = b, R upper -> R^T lower)
+        bprime = [mpmath.mpf(0)] * n_y
+        for i in range(n_y):
+            s = b_mp[i]
+            for jj in range(i):
+                s -= Rh[jj, i] * bprime[jj]
+            bprime[i] = s / Rh[i, i]
+        b_mp = bprime
+        # R^-1 for recovering user y
+        Rinv = mpmath.matrix(n_y, n_y)
+        for col in range(n_y):
+            e = [mpmath.mpf(1) if i == col else mpmath.mpf(0) for i in range(n_y)]
+            for i in range(n_y - 1, -1, -1):
+                s = e[i]
+                for jj in range(i + 1, n_y):
+                    s -= Rh[i, jj] * e[jj]
+                e[i] = s / Rh[i, i]
+            for i in range(n_y):
+                Rinv[i, col] = e[i]
+        y_R_inv = np.array(
+            [[Rinv[i, jj] for jj in range(n_y)] for i in range(n_y)], dtype=object
+        )
+        y_R_mat = np.array(
+            [[Rh[i, jj] for jj in range(n_y)] for i in range(n_y)], dtype=object
+        )
+        # replace B blocks with Q-hat rows
+        r0 = 0
+        for j in range(info.J):
+            Bj = np.empty((info.dim_S[j], n_y), dtype=object)
+            for i in range(info.dim_S[j]):
+                for jj in range(n_y):
+                    Bj[i, jj] = Qh[r0 + i, jj]
+            clusters[j][2] = Bj
+            r0 += info.dim_S[j]
+
+    packed = []
+    for j in range(info.J):
+        Vs, Hs, B, c = clusters[j]
+        Bx = xf_from_mp(np.asarray(B, dtype=object), k=k, dtype=dtype)
+        cx = xf_from_mp(np.asarray(c, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
+        packed.append(ClusterData(Vs, Hs, Bx, cx))
+    clusters = packed
+    bx = xf_from_mp(np.asarray(b_mp, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
     sigma_all = xf_from_mp(
         np.concatenate(sigmas).reshape(-1, 1), k=k, dtype=dtype
     )
+    y_R_inv_x = (
+        xf_from_mp(y_R_inv, k=k, dtype=dtype) if y_R_inv is not None else None
+    )
+    y_R_x = xf_from_mp(y_R_mat, k=k, dtype=dtype) if y_R_inv is not None else None
     C_blocks = None
     if C is not None and not (np.isscalar(C) and C == 0):
         C_blocks = [
@@ -216,7 +301,9 @@ def pack_constraints(
             for Cj in C
         ]
     b0x = xf_from_mp(np.asarray(b0, dtype=object).reshape(()), k=k, dtype=dtype)
-    return SDPProblem(tuple(clusters), bx, C_blocks, b0x, info, sigma_all)
+    return SDPProblem(
+        tuple(clusters), bx, C_blocks, b0x, info, sigma_all, y_R_inv_x, y_R_x
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -608,12 +608,14 @@ def solverank1sdp(
     info = problem.info
 
     if len(initial_solutions) == 4:
-        state = tuple(initial_solutions)
+        state = list(initial_solutions)
         if problem.x_sigma is not None:
             # user-facing x -> internal equilibrated scaling
-            from clrs_tpu.ops.xfloat import xf_mul as _xf_mul
-
-            state = (_xf_mul(state[0], problem.x_sigma),) + tuple(state[1:])
+            state[0] = xf_mul(state[0], problem.x_sigma)
+        if problem.y_R is not None:
+            # user-facing y -> internal orthonormalized y-basis
+            state[1] = xf_matmul(problem.y_R, state[1])
+        state = tuple(state)
     else:
         state = initial_state(problem, cfg)
 
@@ -807,6 +809,9 @@ def solverank1sdp(
     if problem.x_sigma is not None:
         # internal equilibrated x -> user-facing scaling
         x = xf_div(x, problem.x_sigma)
+    if problem.y_R_inv is not None:
+        # internal orthonormalized y-basis -> user-facing y
+        y = xf_matmul(problem.y_R_inv, y)
     return SolveResult(
         x=x,
         X=X,

@@ -67,7 +67,8 @@ def test_sharded_matches_reference_solver(problem):
     # the sharded path consumes raw V/H data, so pack without the setup
     # reparameterizations (they change the iterates, not the problem)
     problem_g = pack_constraints(
-        cons, b, info=info, equilibrate=False, orthonormalize=False
+        cons, b, info=info, equilibrate=False, orthonormalize=False,
+        orthonormalize_B=False
     )
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
     phases = S.make_ipm_phases(problem_g, cfg)
