@@ -107,83 +107,108 @@ def _cluster_shapes(info: BlockInfo, j: int):
 
 
 def compute_residual_R(X, Y, mu: XF, info: BlockInfo, dX=None, dY=None):
-    """R = mu I - XY (- dX dY)  (MPMP.jl:1189-1215)."""
-    R = []
-    for j in range(info.J):
-        row = []
-        for l in range(info.L[j]):
-            n = info.Y_blocksizes[j][l]
-            eye = XF.eye(n, k=mu.k, dtype=mu.dtype)
-            muI = xf_mul(eye, mu)
-            t = xf_add(muI, -xf_matmul(X[j][l], Y[j][l]))
-            if dX is not None:
-                t = xf_add(t, -xf_matmul(dX[j][l], dY[j][l]))
-            row.append(t)
-        R.append(row)
-    return R
+    """R = mu I - XY (- dX dY)  (MPMP.jl:1189-1215), batched by block size."""
+    from clrs_tpu.core.batched import map_blocks
+
+    def fn(Xb, Yb):
+        eye = XF.eye(Xb.shape[0], k=mu.k, dtype=mu.dtype)
+        return xf_add(xf_mul(eye, mu), -xf_matmul(Xb, Yb))
+
+    def fn2(Xb, Yb, dXb, dYb):
+        eye = XF.eye(Xb.shape[0], k=mu.k, dtype=mu.dtype)
+        t = xf_add(xf_mul(eye, mu), -xf_matmul(Xb, Yb))
+        return xf_add(t, -xf_matmul(dXb, dYb))
+
+    if dX is None:
+        return map_blocks(fn, info, X, Y)
+    return map_blocks(fn2, info, X, Y, dX, dY)
 
 
 def compute_X_inv(X, info: BlockInfo, use_lu: bool):
-    """Per-block SPD inverse with ok flags (MPMP.jl:762-801)."""
+    """Per-block SPD inverse with ok flags (MPMP.jl:762-801), batched."""
+    from clrs_tpu.core.batched import map_blocks
+
     inv_fn = xf_inverse_lu if use_lu else xf_spd_inverse
-    X_inv, ok = [], jnp.bool_(True)
-    for j in range(info.J):
-        row = []
-        for l in range(info.L[j]):
-            inv, okb = inv_fn(X[j][l])
-            ok = ok & okb
-            row.append(xf_sym(inv))
-        X_inv.append(row)
-    return X_inv, ok
+
+    def fn(Xb):
+        inv, okb = inv_fn(Xb)
+        return xf_sym(inv), okb
+
+    return map_blocks(fn, info, X, out_has_flag=True)
 
 
 def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
     """Pairings + Schur complement + saddle-point factorization
-    (MPMP.jl:1218-1514).
+    (MPMP.jl:1218-1514), one vmapped instance per cluster shape group.
 
     TPU-native deviation from the reference's factor-and-substitute scheme:
     S_j^-1 and Q^-1 are materialized here (via Cholesky or LU), so the
     twice-per-iteration direction solves (MPMP.jl:1743-1776) become pure
     matmuls — batched MXU work instead of sequential substitution loops.
-    The extra O(dim^3) inverse lives in this once-per-iteration phase where
-    a factorization already exists; accuracy is governed by cond(S)*eps
-    either way, and the escalation ladder catches failures.
 
     Returns dict with: S_inv and S_inv_B per cluster, Q_inv, A_Y (diagonal
     Y pairings for the fast Tr(A_* Y)), ok.
     """
+    from clrs_tpu.core.batched import cluster_groups, stack_xf, unstack_xf
+
     info = problem.info
     ok = jnp.bool_(True)
-    S_inv: List[XF] = []
-    S_inv_B: List[XF] = []
-    A_Y: List[List[XF]] = []
+    S_inv: List[Any] = [None] * info.J
+    S_inv_B: List[Any] = [None] * info.J
+    A_Y: List[Any] = [None] * info.J
     k = problem.b.k
     dtype = problem.b.dtype
     n_y = info.n_y
     inv_fn = xf_inverse_lu if use_lu_schur else xf_spd_inverse
 
     Q = XF.zeros((n_y, n_y), k=k, dtype=dtype)
-    for j in range(info.J):
-        m, K = _cluster_shapes(info, j)
-        cl = problem.clusters[j]
-        S_j = XF.zeros((info.dim_S[j], info.dim_S[j]), k=k, dtype=dtype)
-        ay_row = []
-        for l in range(info.L[j]):
-            V, H = cl.Vs[l], cl.Hs[l]
-            rmax = info.rmax[j][l]
-            PX = compute_pairings(X_inv[j][l], V, m)
-            PY = compute_pairings(Y[j][l], V, m)
-            ay_row.append(pairing_diag(PY, m))
-            S_j = xf_add(S_j, schur_block_contribution(PX, PY, H, m, K, rmax))
-        A_Y.append(ay_row)
-        S_j = xf_sym(S_j)
-        Sj_inv, okj = inv_fn(S_j)
-        Sj_inv = xf_sym(Sj_inv)
-        SB = xf_matmul(Sj_inv, cl.B)
-        Q = xf_add(Q, xf_matmul(cl.B.T, SB))
-        S_inv.append(Sj_inv)
-        S_inv_B.append(SB)
-        ok = ok & okj
+    for js in cluster_groups(info):
+        j0 = js[0]
+        m, K = _cluster_shapes(info, j0)
+        L = info.L[j0]
+        rmaxs = info.rmax[j0]
+        dim = info.dim_S[j0]
+
+        def fn(Xinv_b, Y_b, Vs, Hs, B):
+            S_j = XF.zeros((dim, dim), k=k, dtype=dtype)
+            ay = []
+            for l in range(L):
+                PX = compute_pairings(Xinv_b[l], Vs[l], m)
+                PY = compute_pairings(Y_b[l], Vs[l], m)
+                ay.append(pairing_diag(PY, m))
+                S_j = xf_add(
+                    S_j, schur_block_contribution(PX, PY, Hs[l], m, K, rmaxs[l])
+                )
+            S_j = xf_sym(S_j)
+            Sj_inv, okj = inv_fn(S_j)
+            Sj_inv = xf_sym(Sj_inv)
+            SB = xf_matmul(Sj_inv, B)
+            Qp = xf_matmul(B.T, SB)
+            return Sj_inv, SB, Qp, ay, okj
+
+        if len(js) == 1:
+            cl = problem.clusters[j0]
+            Si, SB, Qp, ay, okj = fn(X_inv[j0], Y[j0], list(cl.Vs), list(cl.Hs), cl.B)
+            S_inv[j0], S_inv_B[j0], A_Y[j0] = Si, SB, ay
+            Q = xf_add(Q, Qp)
+            ok = ok & okj
+        else:
+            ins = (
+                [stack_xf([X_inv[j][l] for j in js]) for l in range(L)],
+                [stack_xf([Y[j][l] for j in js]) for l in range(L)],
+                [stack_xf([problem.clusters[j].Vs[l] for j in js]) for l in range(L)],
+                [stack_xf([problem.clusters[j].Hs[l] for j in js]) for l in range(L)],
+                stack_xf([problem.clusters[j].B for j in js]),
+            )
+            Sis, SBs, Qps, ays, oks = jax.vmap(
+                fn, in_axes=1, out_axes=(1, 1, 1, 1, 0)
+            )(*ins)
+            for i, j in enumerate(js):
+                S_inv[j] = Sis[i]
+                S_inv_B[j] = SBs[i]
+                A_Y[j] = [ays[l][i] for l in range(L)]
+            Q = xf_add(Q, xf_sum(Qps, axis=0))
+            ok = ok & jnp.all(oks)
 
     # Q = B^T S^-1 B (n_y x n_y)  (MPMP.jl:1467-1505)
     Q_inv, okq = inv_fn(xf_sym(Q))
@@ -199,61 +224,111 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
 
 
 def compute_weighted_A(problem: SDPProblem, a: XF):
-    """Block-diagonal sum_i a_i A_i (MPMP.jl:1621-1678)."""
+    """Block-diagonal sum_i a_i A_i (MPMP.jl:1621-1678), cluster-grouped."""
+    from clrs_tpu.core.batched import cluster_groups, stack_xf
+
     info = problem.info
-    out = []
-    for j in range(info.J):
-        m, K = _cluster_shapes(info, j)
-        a_j = a[info.x_indices[j] : info.x_indices[j + 1], 0]
-        cl = problem.clusters[j]
-        row = []
-        for l in range(info.L[j]):
-            row.append(
-                weighted_A_block(a_j, cl.Vs[l], cl.Hs[l], m, K, info.rmax[j][l])
+    out: List[Any] = [None] * info.J
+    for js in cluster_groups(info):
+        j0 = js[0]
+        m, K = _cluster_shapes(info, j0)
+        L = info.L[j0]
+        rmaxs = info.rmax[j0]
+
+        def fn(a_j, Vs, Hs):
+            return [
+                weighted_A_block(a_j, Vs[l], Hs[l], m, K, rmaxs[l])
+                for l in range(L)
+            ]
+
+        if len(js) == 1:
+            cl = problem.clusters[j0]
+            a_j = a[info.x_indices[j0] : info.x_indices[j0 + 1], 0]
+            out[j0] = fn(a_j, list(cl.Vs), list(cl.Hs))
+        else:
+            ins = (
+                stack_xf(
+                    [a[info.x_indices[j] : info.x_indices[j + 1], 0] for j in js]
+                ),
+                [stack_xf([problem.clusters[j].Vs[l] for j in js]) for l in range(L)],
+                [stack_xf([problem.clusters[j].Hs[l] for j in js]) for l in range(L)],
             )
-        out.append(row)
+            rows = jax.vmap(fn, in_axes=1, out_axes=1)(*ins)
+            for i, j in enumerate(js):
+                out[j] = [rows[l][i] for l in range(L)]
     return out
+
+
+def _concat_cluster_vecs(info, parts):
+    return XF(
+        jnp.concatenate([p.limbs for p in parts], axis=1)
+    ).reshape((info.total_dim_S, 1))
 
 
 def compute_trace_A_diag(problem: SDPProblem, A_Y):
     """Fast-path Tr(A_* Y) from stored diagonal pairings (MPMP.jl:1585-1618)."""
+    from clrs_tpu.core.batched import cluster_groups, stack_xf
+
     info = problem.info
-    parts = []
-    for j in range(info.J):
-        m, K = _cluster_shapes(info, j)
-        tr = None
-        for l in range(info.L[j]):
-            t = trace_A_from_diag(
-                A_Y[j][l], problem.clusters[j].Hs[l], m, K, info.rmax[j][l]
+    parts: List[Any] = [None] * info.J
+    for js in cluster_groups(info):
+        j0 = js[0]
+        m, K = _cluster_shapes(info, j0)
+        L = info.L[j0]
+        rmaxs = info.rmax[j0]
+
+        def fn(ay, Hs):
+            tr = None
+            for l in range(L):
+                t = trace_A_from_diag(ay[l], Hs[l], m, K, rmaxs[l])
+                tr = t if tr is None else xf_add(tr, t)
+            return tr
+
+        if len(js) == 1:
+            parts[j0] = fn(A_Y[j0], list(problem.clusters[j0].Hs))
+        else:
+            ins = (
+                [stack_xf([A_Y[j][l] for j in js]) for l in range(L)],
+                [stack_xf([problem.clusters[j].Hs[l] for j in js]) for l in range(L)],
             )
-            tr = t if tr is None else xf_add(tr, t)
-        parts.append(tr)
-    return XF(jnp.concatenate([p.limbs for p in parts], axis=1)).reshape(
-        (info.total_dim_S, 1)
-    )
+            trs = jax.vmap(fn, in_axes=1, out_axes=1)(*ins)
+            for i, j in enumerate(js):
+                parts[j] = trs[i]
+    return _concat_cluster_vecs(info, parts)
 
 
 def compute_trace_A_generic(problem: SDPProblem, Z):
     """Tr(A_* Z) for a generic block-diagonal Z (MPMP.jl:1517-1584)."""
+    from clrs_tpu.core.batched import cluster_groups, stack_xf
+
     info = problem.info
-    parts = []
-    for j in range(info.J):
-        m, K = _cluster_shapes(info, j)
-        tr = None
-        for l in range(info.L[j]):
-            t = trace_A_generic(
-                Z[j][l],
-                problem.clusters[j].Vs[l],
-                problem.clusters[j].Hs[l],
-                m,
-                K,
-                info.rmax[j][l],
+    parts: List[Any] = [None] * info.J
+    for js in cluster_groups(info):
+        j0 = js[0]
+        m, K = _cluster_shapes(info, j0)
+        L = info.L[j0]
+        rmaxs = info.rmax[j0]
+
+        def fn(Zb, Vs, Hs):
+            tr = None
+            for l in range(L):
+                t = trace_A_generic(Zb[l], Vs[l], Hs[l], m, K, rmaxs[l])
+                tr = t if tr is None else xf_add(tr, t)
+            return tr
+
+        if len(js) == 1:
+            cl = problem.clusters[j0]
+            parts[j0] = fn(Z[j0], list(cl.Vs), list(cl.Hs))
+        else:
+            ins = (
+                [stack_xf([Z[j][l] for j in js]) for l in range(L)],
+                [stack_xf([problem.clusters[j].Vs[l] for j in js]) for l in range(L)],
+                [stack_xf([problem.clusters[j].Hs[l] for j in js]) for l in range(L)],
             )
-            tr = t if tr is None else xf_add(tr, t)
-        parts.append(tr)
-    return XF(jnp.concatenate([p.limbs for p in parts], axis=1)).reshape(
-        (info.total_dim_S, 1)
-    )
+            trs = jax.vmap(fn, in_axes=1, out_axes=1)(*ins)
+            for i, j in enumerate(js):
+                parts[j] = trs[i]
+    return _concat_cluster_vecs(info, parts)
 
 
 def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
@@ -269,11 +344,24 @@ def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
             P[j][l] = t
 
     # p = b - B^T x  (per-cluster partials then summed; the psum point in
-    # the sharded path, SURVEY.md §5.8 (a))
+    # the sharded path, SURVEY.md §5.8 (a)); grouped batched matmuls
+    from clrs_tpu.core.batched import cluster_groups, stack_xf
+
     p = problem.b
-    for j in range(info.J):
-        xj = x[info.x_indices[j] : info.x_indices[j + 1], :]
-        p = xf_add(p, -xf_matmul(problem.clusters[j].B.T, xj))
+    for js in cluster_groups(info):
+        if len(js) == 1:
+            j = js[0]
+            xj = x[info.x_indices[j] : info.x_indices[j + 1], :]
+            p = xf_add(p, -xf_matmul(problem.clusters[j].B.T, xj))
+        else:
+            Bs = stack_xf([problem.clusters[j].B for j in js])
+            xs = stack_xf(
+                [x[info.x_indices[j] : info.x_indices[j + 1], :] for j in js]
+            )
+            parts = jax.vmap(
+                lambda Bb, xb: xf_matmul(Bb.T, xb), in_axes=1, out_axes=1
+            )(Bs, xs)
+            p = xf_add(p, -xf_sum(parts, axis=0))
 
     # d = c - Tr(A_* Y) - B y
     cs = XF(
@@ -291,15 +379,17 @@ def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
 def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur):
     """Predictor/corrector direction via the saddle-point factorization
     (MPMP.jl:1682-1824)."""
+    from clrs_tpu.core.batched import cluster_groups, map_blocks, stack_xf
+
     info = problem.info
-    # Z = Sym(X^-1 (P Y - R))
-    Z = []
-    for j in range(info.J):
-        row = []
-        for l in range(info.L[j]):
-            t = xf_add(xf_matmul(P[j][l], Y[j][l]), -R[j][l])
-            row.append(xf_sym(xf_matmul(X_inv[j][l], t)))
-        Z.append(row)
+
+    # Z = Sym(X^-1 (P Y - R)), batched by block size
+    Z = map_blocks(
+        lambda Pb, Yb, Rb, Xib: xf_sym(
+            xf_matmul(Xib, xf_add(xf_matmul(Pb, Yb), -Rb))
+        ),
+        info, P, Y, R, X_inv,
+    )
 
     rhs_x = xf_add(-d, -compute_trace_A_generic(problem, Z))
     rhs_y = p
@@ -307,50 +397,71 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
     # saddle solve of [S -B; B^T 0] (dx; dy) = (rhs_x; rhs_y) from the
     # materialized inverses — all matmuls (MPMP.jl:1743-1776 re-derived):
     #   t_j = S_j^-1 rhs_x_j;  dy = Q^-1 (rhs_y - sum_j B_j^T t_j);
-    #   dx_j = t_j + S_j^-1 B_j dy
-    temp_x = []
+    #   dx_j = t_j + S_j^-1 B_j dy; cluster-grouped batched matmuls
+    temp_x: List[Any] = [None] * info.J
     acc = None
-    for j in range(info.J):
-        rj = rhs_x[info.x_indices[j] : info.x_indices[j + 1], :]
-        tx = xf_matmul(decomp["S_inv"][j], rj)
-        a = xf_matmul(problem.clusters[j].B.T, tx)
-        temp_x.append(tx)
-        acc = a if acc is None else xf_add(acc, a)
+    for js in cluster_groups(info):
+        if len(js) == 1:
+            j = js[0]
+            rj = rhs_x[info.x_indices[j] : info.x_indices[j + 1], :]
+            tx = xf_matmul(decomp["S_inv"][j], rj)
+            a = xf_matmul(problem.clusters[j].B.T, tx)
+            temp_x[j] = tx
+            acc = a if acc is None else xf_add(acc, a)
+        else:
+            Sis = stack_xf([decomp["S_inv"][j] for j in js])
+            rjs = stack_xf(
+                [rhs_x[info.x_indices[j] : info.x_indices[j + 1], :] for j in js]
+            )
+            Bs = stack_xf([problem.clusters[j].B for j in js])
+            txs, accs = jax.vmap(
+                lambda Si, rj, Bb: (
+                    lambda tx: (tx, xf_matmul(Bb.T, tx))
+                )(xf_matmul(Si, rj)),
+                in_axes=1, out_axes=(1, 1),
+            )(Sis, rjs, Bs)
+            for i, j in enumerate(js):
+                temp_x[j] = txs[i]
+            a = xf_sum(accs, axis=0)
+            acc = a if acc is None else xf_add(acc, a)
     # dy (the psum point (c) in the sharded path, SURVEY.md §5.8)
     dy = xf_matmul(decomp["Q_inv"], xf_add(rhs_y, -acc))
-    dxs = [
-        xf_add(temp_x[j], xf_matmul(decomp["S_inv_B"][j], dy))
-        for j in range(info.J)
-    ]
+    dxs: List[Any] = [None] * info.J
+    for js in cluster_groups(info):
+        if len(js) == 1:
+            j = js[0]
+            dxs[j] = xf_add(temp_x[j], xf_matmul(decomp["S_inv_B"][j], dy))
+        else:
+            SBs = stack_xf([decomp["S_inv_B"][j] for j in js])
+            txs = stack_xf([temp_x[j] for j in js])
+            outs = jax.vmap(
+                lambda SB, tx: xf_add(tx, xf_matmul(SB, dy)),
+                in_axes=1, out_axes=1,
+            )(SBs, txs)
+            for i, j in enumerate(js):
+                dxs[j] = outs[i]
     dx = XF(jnp.concatenate([d_.limbs for d_ in dxs], axis=1))
 
     # dX = P + sum_i dx_i A_i
     dX = compute_weighted_A(problem, dx)
-    for j in range(info.J):
-        for l in range(info.L[j]):
-            dX[j][l] = xf_add(dX[j][l], P[j][l])
+    dX = bd_map(xf_add, dX, P)
 
-    # dY = Sym(X^-1 (R - dX Y))
-    dY = []
-    for j in range(info.J):
-        row = []
-        for l in range(info.L[j]):
-            t = xf_add(R[j][l], -xf_matmul(dX[j][l], Y[j][l]))
-            row.append(xf_sym(xf_matmul(X_inv[j][l], t)))
-        dY.append(row)
+    # dY = Sym(X^-1 (R - dX Y)), batched by block size
+    dY = map_blocks(
+        lambda Rb, dXb, Yb, Xib: xf_sym(
+            xf_matmul(Xib, xf_add(Rb, -xf_matmul(dXb, Yb)))
+        ),
+        info, R, dX, Y, X_inv,
+    )
     return dx, dX, dy, dY
 
 
 def compute_step_length(M, dM, gamma: float, info: BlockInfo):
     """alpha = min(1, -gamma/lambda_min), lambda_min over all blocks
-    (MPMP.jl:1829-1898).  Returns (alpha_f64, ok)."""
-    lam = jnp.inf
-    ok = jnp.bool_(True)
-    for j in range(info.J):
-        for l in range(info.L[j]):
-            lmin, okb = xf_min_eig_sym(M[j][l], dM[j][l])
-            lam = jnp.minimum(lam, lmin)
-            ok = ok & okb
+    (MPMP.jl:1829-1898), batched.  Returns (alpha_f64, ok)."""
+    from clrs_tpu.core.batched import map_block_scalar
+
+    lam, ok = map_block_scalar(xf_min_eig_sym, info, M, dM)
     alpha = jnp.where(lam > -gamma, 1.0, -gamma / jnp.minimum(lam, -1e-300))
     alpha = jnp.minimum(alpha, 1.0)
     return alpha, ok
