@@ -78,7 +78,7 @@ def main():
 
         import clrs_tpu.core.solver as S
 
-        d = int(os.environ.get("CLRS_BENCH_D", "5"))  # 2d = 10
+        d = int(os.environ.get("CLRS_BENCH_D", "3"))  # 2d = 6 (240-sharp config)
         problem, info = build_problem(d, dtype)
         cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
         step = S.make_fused_step(problem, cfg)
@@ -98,7 +98,10 @@ def main():
                     raise
                 time.sleep(10)
 
-        n_meas = int(os.environ.get("CLRS_BENCH_ITERS", "10"))
+        n_meas = int(os.environ.get("CLRS_BENCH_ITERS", "100"))
+        # reset to the cold start so the measured iterations stay on a
+        # well-conditioned stretch of the central path
+        state = S.initial_state(problem, cfg)
         t0 = time.time()
         done = 0
         for _ in range(n_meas):
