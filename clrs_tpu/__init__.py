@@ -32,6 +32,15 @@ if "--xla_cpu_use_fusion_emitters" not in _os.environ.get("XLA_FLAGS", ""):
         _os.environ.get("XLA_FLAGS", "") + " --xla_cpu_use_fusion_emitters=false"
     ).strip()
 
+# LLVM's expensive backend passes explode (>240s for a graph that compiles
+# in 2s at level 1) on k>=3 extended-precision factorization loop bodies
+# once tensor shapes cross the 2-vector width; level 1 costs a few percent
+# of CPU kernel speed and removes the cliff.
+if "--xla_backend_optimization_level" not in _os.environ.get("XLA_FLAGS", ""):
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1"
+    ).strip()
+
 import jax as _jax
 
 # Extended precision requires IEEE float64 limbs on CPU; on TPU the f32-limb

@@ -14,9 +14,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# see clrs_tpu/__init__.py: CPU fusion emitters break error-free transforms
+# see clrs_tpu/__init__.py: CPU fusion emitters break error-free transforms;
+# LLVM expensive passes explode on k>=3 factorization bodies
 if "--xla_cpu_use_fusion_emitters" not in flags:
     flags = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
+if "--xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=1").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
