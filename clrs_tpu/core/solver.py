@@ -90,6 +90,7 @@ class SolverConfig:
     stall_patience: int = 40  # stop after this many non-improving iterations
     verbose: bool = True
     testing: bool = False  # print early-iteration timings (MPMP.jl:612)
+    refine_steps: int = 1  # iterative-refinement rounds on the saddle solve
     # numerical degradation ladder (reference: sticky booleans, MPMP.jl:717-718)
     use_lu_inverse: bool = False  # X^-1 via LU instead of Cholesky
     use_lu_schur: bool = False  # S_j via LU instead of Cholesky
@@ -153,6 +154,7 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
 
     info = problem.info
     ok = jnp.bool_(True)
+    S_mat: List[Any] = [None] * info.J
     S_inv: List[Any] = [None] * info.J
     S_inv_B: List[Any] = [None] * info.J
     A_Y: List[Any] = [None] * info.J
@@ -184,12 +186,14 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
             Sj_inv = xf_sym(Sj_inv)
             SB = xf_matmul(Sj_inv, B)
             Qp = xf_matmul(B.T, SB)
-            return Sj_inv, SB, Qp, ay, okj
+            return S_j, Sj_inv, SB, Qp, ay, okj
 
         if len(js) == 1:
             cl = problem.clusters[j0]
-            Si, SB, Qp, ay, okj = fn(X_inv[j0], Y[j0], list(cl.Vs), list(cl.Hs), cl.B)
-            S_inv[j0], S_inv_B[j0], A_Y[j0] = Si, SB, ay
+            Sm, Si, SB, Qp, ay, okj = fn(
+                X_inv[j0], Y[j0], list(cl.Vs), list(cl.Hs), cl.B
+            )
+            S_mat[j0], S_inv[j0], S_inv_B[j0], A_Y[j0] = Sm, Si, SB, ay
             Q = xf_add(Q, Qp)
             ok = ok & okj
         else:
@@ -200,10 +204,11 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
                 [stack_xf([problem.clusters[j].Hs[l] for j in js]) for l in range(L)],
                 stack_xf([problem.clusters[j].B for j in js]),
             )
-            Sis, SBs, Qps, ays, oks = jax.vmap(
-                fn, in_axes=1, out_axes=(1, 1, 1, 1, 0)
+            Sms, Sis, SBs, Qps, ays, oks = jax.vmap(
+                fn, in_axes=1, out_axes=(1, 1, 1, 1, 1, 0)
             )(*ins)
             for i, j in enumerate(js):
+                S_mat[j] = Sms[i]
                 S_inv[j] = Sis[i]
                 S_inv_B[j] = SBs[i]
                 A_Y[j] = [ays[l][i] for l in range(L)]
@@ -215,6 +220,7 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
     ok = ok & okq
 
     return dict(
+        S_mat=S_mat,
         S_inv=S_inv,
         S_inv_B=S_inv_B,
         Q_inv=Q_inv,
@@ -376,7 +382,7 @@ def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
     return P, p, d
 
 
-def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur):
+def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur, refine_steps: int = 1):
     """Predictor/corrector direction via the saddle-point factorization
     (MPMP.jl:1682-1824)."""
     from clrs_tpu.core.batched import cluster_groups, map_blocks, stack_xf
@@ -398,48 +404,95 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
     # materialized inverses — all matmuls (MPMP.jl:1743-1776 re-derived):
     #   t_j = S_j^-1 rhs_x_j;  dy = Q^-1 (rhs_y - sum_j B_j^T t_j);
     #   dx_j = t_j + S_j^-1 B_j dy; cluster-grouped batched matmuls
-    temp_x: List[Any] = [None] * info.J
-    acc = None
-    for js in cluster_groups(info):
-        if len(js) == 1:
-            j = js[0]
-            rj = rhs_x[info.x_indices[j] : info.x_indices[j + 1], :]
-            tx = xf_matmul(decomp["S_inv"][j], rj)
-            a = xf_matmul(problem.clusters[j].B.T, tx)
-            temp_x[j] = tx
-            acc = a if acc is None else xf_add(acc, a)
-        else:
-            Sis = stack_xf([decomp["S_inv"][j] for j in js])
-            rjs = stack_xf(
-                [rhs_x[info.x_indices[j] : info.x_indices[j + 1], :] for j in js]
-            )
-            Bs = stack_xf([problem.clusters[j].B for j in js])
-            txs, accs = jax.vmap(
-                lambda Si, rj, Bb: (
-                    lambda tx: (tx, xf_matmul(Bb.T, tx))
-                )(xf_matmul(Si, rj)),
-                in_axes=1, out_axes=(1, 1),
-            )(Sis, rjs, Bs)
-            for i, j in enumerate(js):
-                temp_x[j] = txs[i]
-            a = xf_sum(accs, axis=0)
-            acc = a if acc is None else xf_add(acc, a)
-    # dy (the psum point (c) in the sharded path, SURVEY.md §5.8)
-    dy = xf_matmul(decomp["Q_inv"], xf_add(rhs_y, -acc))
-    dxs: List[Any] = [None] * info.J
-    for js in cluster_groups(info):
-        if len(js) == 1:
-            j = js[0]
-            dxs[j] = xf_add(temp_x[j], xf_matmul(decomp["S_inv_B"][j], dy))
-        else:
-            SBs = stack_xf([decomp["S_inv_B"][j] for j in js])
-            txs = stack_xf([temp_x[j] for j in js])
-            outs = jax.vmap(
-                lambda SB, tx: xf_add(tx, xf_matmul(SB, dy)),
-                in_axes=1, out_axes=1,
-            )(SBs, txs)
-            for i, j in enumerate(js):
-                dxs[j] = outs[i]
+    def saddle_solve(rx, ry):
+        temp_x: List[Any] = [None] * info.J
+        acc = None
+        for js in cluster_groups(info):
+            if len(js) == 1:
+                j = js[0]
+                rj = rx[info.x_indices[j] : info.x_indices[j + 1], :]
+                tx = xf_matmul(decomp["S_inv"][j], rj)
+                a = xf_matmul(problem.clusters[j].B.T, tx)
+                temp_x[j] = tx
+                acc = a if acc is None else xf_add(acc, a)
+            else:
+                Sis = stack_xf([decomp["S_inv"][j] for j in js])
+                rjs = stack_xf(
+                    [rx[info.x_indices[j] : info.x_indices[j + 1], :] for j in js]
+                )
+                Bs = stack_xf([problem.clusters[j].B for j in js])
+                txs, accs = jax.vmap(
+                    lambda Si, rj, Bb: (
+                        lambda tx: (tx, xf_matmul(Bb.T, tx))
+                    )(xf_matmul(Si, rj)),
+                    in_axes=1, out_axes=(1, 1),
+                )(Sis, rjs, Bs)
+                for i, j in enumerate(js):
+                    temp_x[j] = txs[i]
+                a = xf_sum(accs, axis=0)
+                acc = a if acc is None else xf_add(acc, a)
+        # dy (the psum point (c) in the sharded path, SURVEY.md §5.8)
+        dy_ = xf_matmul(decomp["Q_inv"], xf_add(ry, -acc))
+        dxs_: List[Any] = [None] * info.J
+        for js in cluster_groups(info):
+            if len(js) == 1:
+                j = js[0]
+                dxs_[j] = xf_add(temp_x[j], xf_matmul(decomp["S_inv_B"][j], dy_))
+            else:
+                SBs = stack_xf([decomp["S_inv_B"][j] for j in js])
+                txs = stack_xf([temp_x[j] for j in js])
+                outs = jax.vmap(
+                    lambda SB, tx: xf_add(tx, xf_matmul(SB, dy_)),
+                    in_axes=1, out_axes=1,
+                )(SBs, txs)
+                for i, j in enumerate(js):
+                    dxs_[j] = outs[i]
+        return dxs_, dy_
+
+    def saddle_residual(dxs_, dy_):
+        """rx - (S dx - B dy), ry - B^T dx — the true system residual."""
+        rxs: List[Any] = [None] * info.J
+        accb = None
+        for js in cluster_groups(info):
+            if len(js) == 1:
+                j = js[0]
+                rj = rhs_x[info.x_indices[j] : info.x_indices[j + 1], :]
+                Sdx = xf_matmul(decomp["S_mat"][j], dxs_[j])
+                Bdy = xf_matmul(problem.clusters[j].B, dy_)
+                rxs[j] = xf_add(rj, xf_add(-Sdx, Bdy))
+                a = xf_matmul(problem.clusters[j].B.T, dxs_[j])
+                accb = a if accb is None else xf_add(accb, a)
+            else:
+                Sms = stack_xf([decomp["S_mat"][j] for j in js])
+                Bs = stack_xf([problem.clusters[j].B for j in js])
+                dxb = stack_xf([dxs_[j] for j in js])
+                rjs = stack_xf(
+                    [rhs_x[info.x_indices[j] : info.x_indices[j + 1], :] for j in js]
+                )
+                outs, accs = jax.vmap(
+                    lambda Sm, Bb, dxj, rj: (
+                        xf_add(rj, xf_add(-xf_matmul(Sm, dxj), xf_matmul(Bb, dy_))),
+                        xf_matmul(Bb.T, dxj),
+                    ),
+                    in_axes=1, out_axes=(1, 1),
+                )(Sms, Bs, dxb, rjs)
+                for i, j in enumerate(js):
+                    rxs[j] = outs[i]
+                a = xf_sum(accs, axis=0)
+                accb = a if accb is None else xf_add(accb, a)
+        rx_full = XF(jnp.concatenate([r_.limbs for r_ in rxs], axis=1))
+        ry_full = xf_add(rhs_y, -accb)
+        return rx_full, ry_full
+
+    dxs, dy = saddle_solve(rhs_x, rhs_y)
+    # iterative refinement: one round squares the effective solve accuracy
+    # (error eps*cond(S) -> (eps*cond(S))^2), which is what keeps the dual
+    # residual contracting near convergence where cond(S) ~ 1/mu^2.
+    for _ in range(refine_steps):
+        rx_full, ry_full = saddle_residual(dxs, dy)
+        ddxs, ddy = saddle_solve(rx_full, ry_full)
+        dxs = [xf_add(dxs[j], ddxs[j]) for j in range(info.J)]
+        dy = xf_add(dy, ddy)
     dx = XF(jnp.concatenate([d_.limbs for d_ in dxs], axis=1))
 
     # dX = P + sum_i dx_i A_i
@@ -547,7 +600,8 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
     @jax.jit
     def phase_direction(problem, P, p, d, R, X_inv, Y, decomp):
         return compute_search_direction(
-            problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur
+            problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur,
+            cfg.refine_steps,
         )
 
     @jax.jit
