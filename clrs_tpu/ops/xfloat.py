@@ -244,8 +244,15 @@ class XF:
         return XF(limbs.at[0].set(jnp.eye(n, dtype=dtype)))
 
     @staticmethod
-    def from_float(x, k: int = 2, dtype=jnp.float64, shape=()) -> "XF":
-        """Lift a float/array (already exactly representable) to XF."""
+    def from_float(x, k: int = 2, dtype=None, shape=()) -> "XF":
+        """Lift a float/array (already exactly representable) to XF.
+
+        dtype defaults to the input's float dtype for arrays (no silent
+        up/down-casting), float64 for Python scalars.
+        """
+        if dtype is None:
+            xd = getattr(x, "dtype", None)
+            dtype = xd if xd is not None and jnp.issubdtype(xd, jnp.floating) else jnp.float64
         x = jnp.broadcast_to(jnp.asarray(x, dtype=dtype), shape) if shape else jnp.asarray(x, dtype=dtype)
         limbs = jnp.zeros((k,) + x.shape, dtype=dtype)
         return XF(limbs.at[0].set(x))
