@@ -98,7 +98,7 @@ def main():
                     raise
                 time.sleep(10)
 
-        n_meas = int(os.environ.get("CLRS_BENCH_ITERS", "25"))
+        n_meas = int(os.environ.get("CLRS_BENCH_ITERS", "20"))
 
         # measure sustained on-device throughput: n_meas full iterations as
         # ONE lax.scan dispatch (the deployment shape: device-resident loop,
@@ -114,11 +114,12 @@ def main():
         scan_jit = jax.jit(scan_steps)
         state = S.initial_state(problem, cfg)
         jax.block_until_ready(scan_jit(problem, state))  # compile + warm
-        state = S.initial_state(problem, cfg)
+        reps = 3
         t0 = time.time()
-        out = scan_jit(problem, state)
-        jax.block_until_ready(out)
-        dt = time.time() - t0
+        for _ in range(reps):
+            out = scan_jit(problem, S.initial_state(problem, cfg))
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / reps
         done = n_meas
         rate = done / dt
         # health check from the post-scan state
