@@ -90,6 +90,10 @@ class SolverConfig:
     stall_patience: int = 40  # stop after this many non-improving iterations
     verbose: bool = True
     testing: bool = False  # print early-iteration timings (MPMP.jl:612)
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of the
+    # solve here (the TPU-native analogue of the reference's hand-rolled
+    # 17-bucket phase timers, MPMP.jl:699-714, 888-921 / SURVEY.md §5.1);
+    # view with tensorboard or xprof
     refine_steps: int = 1  # iterative-refinement rounds on the saddle solve
     # numerical degradation ladder (reference: sticky booleans, MPMP.jl:717-718)
     use_lu_inverse: bool = False  # X^-1 via LU instead of Cholesky
@@ -813,12 +817,15 @@ def solverank1sdp(
 
     def timed(name, fn, *args):
         t = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        with jax.profiler.TraceAnnotation(f"ipm/{name}"):
+            out = fn(*args)
+            jax.block_until_ready(out)
         if itn > 2:
             timings[name] = timings.get(name, 0.0) + time.time() - t
         return out
 
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
     while itn < cfg.maxiterations:
         itn += 1
         pd = jnp.bool_(pd_feas)
@@ -947,6 +954,9 @@ def solverank1sdp(
             status = "optimal"
             converged = True
             break
+
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
 
     if (
         status.startswith("numerical_failure") or status == "stalled"
