@@ -15,6 +15,10 @@ maxiter = int(sys.argv[2]) if len(sys.argv) > 2 else 250
 import numpy as np
 import mpmath
 import jax
+
+# run on CPU: the axon TPU plugin force-registers itself and overrides
+# JAX_PLATFORMS, so it must be disabled via config (same as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 import clrs_tpu  # noqa: F401  (sets XLA flags)
