@@ -233,16 +233,104 @@ def xf_eigvalsh_approx(a: XF) -> jnp.ndarray:
     return jnp.linalg.eigvalsh(a.to_float64())
 
 
+def _jacobi_schedule(n: int):
+    """Round-robin (circle-method) pairings: (rounds, n//2) index arrays
+    top/bot such that every unordered pair (i, j) appears exactly once
+    across the n-1 rounds, with the pairs within a round disjoint."""
+    import numpy as np
+
+    assert n % 2 == 0
+    rounds = n - 1
+    top = np.zeros((rounds, n // 2), dtype=np.int32)
+    bot = np.zeros((rounds, n // 2), dtype=np.int32)
+    others = list(range(1, n))
+    for r in range(rounds):
+        arr = [0] + others[r:] + others[:r]
+        for i in range(n // 2):
+            a, b = arr[i], arr[n - 1 - i]
+            top[r, i], bot[r, i] = min(a, b), max(a, b)
+    return top, bot
+
+
+def jacobi_min_eig(a: jnp.ndarray, sweeps: int = 6) -> jnp.ndarray:
+    """Safe lower bound on lambda_min of a symmetric matrix, native dtype.
+
+    Parallel-order cyclic Jacobi: each round applies n/2 disjoint Givens
+    rotations as ONE orthogonal similarity Q^T A Q (two dense matmuls —
+    MXU work), n-1 rounds per sweep.  After `sweeps` sweeps the matrix is
+    numerically diagonal; the returned value is the Gershgorin lower bound
+    min_i (a_ii - sum_{j!=i} |a_ij|) of the rotated matrix, which never
+    exceeds the true lambda_min — so a step length computed from it is
+    always safe (the reference's gamma slack absorbs the slack,
+    MPMP.jl:1893-1897).
+
+    This is the TPU replacement for the reference's per-block complex QR
+    eigendecomposition (approx_eig_qr!, MPMP.jl:1860): on TPU there is no
+    native eigensolver and f64 is emulated, so the f32-limb solver runs
+    this in f32 instead of jnp.linalg.eigvalsh on lifted f64.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        return a[..., 0, 0]
+    dtype = a.dtype
+    npad = n + (n % 2)
+    if npad != n:
+        # decoupled pad eigenvalue = max diagonal >= true lambda_min, so it
+        # can never win the min below
+        pad_val = jnp.max(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, 1), (0, 1)])
+        a = a.at[..., n, n].set(pad_val)
+    top_np, bot_np = _jacobi_schedule(npad)
+    top_all = jnp.asarray(top_np)
+    bot_all = jnp.asarray(bot_np)
+    rounds = top_all.shape[0]
+    eye = jnp.eye(npad, dtype=dtype)
+
+    def round_body(step, A):
+        r = step % rounds
+        p = top_all[r]
+        q = bot_all[r]
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        small = jnp.abs(apq) <= jnp.finfo(dtype).tiny
+        safe_apq = jnp.where(small, jnp.asarray(1.0, dtype), apq)
+        tau = (aqq - app) / (2.0 * safe_apq)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0, jnp.asarray(1.0, dtype), t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        c = jnp.where(small, jnp.asarray(1.0, dtype), c)
+        s = jnp.where(small, jnp.asarray(0.0, dtype), s)
+        Q = eye
+        Q = Q.at[p, p].set(c).at[q, q].set(c)
+        Q = Q.at[p, q].set(s).at[q, p].set(-s)
+        A = jnp.matmul(
+            Q.T, jnp.matmul(A, Q, precision=jax.lax.Precision.HIGHEST),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (A + jnp.swapaxes(A, -1, -2)) * 0.5
+
+    a = jax.lax.fori_loop(0, sweeps * rounds, round_body, a)
+    diag = jnp.diagonal(a, axis1=-2, axis2=-1)
+    radius = jnp.sum(jnp.abs(a), axis=-1) - jnp.abs(diag)
+    return jnp.min(diag - radius, axis=-1)
+
+
 def xf_min_eig_sym(m: XF, dm: XF) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """lambda_min of L^-1 dM L^-T where m = L L^T (step-length oracle).
 
-    Returns (lambda_min_f64, ok).  Mirrors MPMP.jl:1842-1880: Cholesky of
-    M, two triangular solves, symmetric eigenvalues, min.
+    Returns (lambda_min, ok).  Mirrors MPMP.jl:1842-1880: Cholesky of
+    M, two triangular solves, symmetric eigenvalues, min.  With f32 limbs
+    (the TPU numerics) the eigensolve runs as native-dtype parallel Jacobi
+    instead of lifting to emulated f64.
     """
     L, ok = xf_cholesky(m)
     w = xf_solve_tril(L, dm)
     wt = XF(jnp.swapaxes(w.limbs, 1, 2))
     lml = xf_solve_tril(L, wt)
     lml_sym = xf_sym(lml)
+    if lml_sym.dtype == jnp.float32:
+        return jacobi_min_eig(lml_sym.to_float()), ok
     eigs = xf_eigvalsh_approx(lml_sym)
     return jnp.min(eigs), ok

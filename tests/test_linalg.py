@@ -1,6 +1,7 @@
 """XF linear algebra vs mpmath oracles (SURVEY.md §4 test strategy)."""
 
 import jax
+import jax.numpy as jnp
 import mpmath
 import numpy as np
 import pytest
@@ -170,3 +171,53 @@ def test_jit_and_vmap_cholesky():
     for i in range(batch):
         rec = np.asarray(L.limbs[0][i]) @ np.asarray(L.limbs[0][i]).T
         assert np.allclose(rec, mats[i], atol=1e-12)
+
+
+def test_jacobi_min_eig_lower_bound_and_tight():
+    """Parallel-order Jacobi min-eig (the TPU step-length eigensolver):
+    never exceeds the true lambda_min, and is tight after 6 sweeps."""
+    from clrs_tpu.ops.linalg import jacobi_min_eig
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 5, 8, 16, 33):
+        A = rng.standard_normal((n, n))
+        A = (A + A.T) / 2
+        lam_true = np.linalg.eigvalsh(A)[0]
+        for dtype in (np.float64, np.float32):
+            lam = float(jax.jit(jacobi_min_eig)(jnp.asarray(A, dtype=dtype)))
+            tol = 1e-10 if dtype == np.float64 else 1e-4
+            scale = max(1.0, abs(lam_true))
+            assert lam <= lam_true + tol * scale, (n, dtype, lam, lam_true)
+            assert lam >= lam_true - 1e-3 * scale, (n, dtype, lam, lam_true)
+
+
+def test_jacobi_min_eig_vmapped_batch():
+    from clrs_tpu.ops.linalg import jacobi_min_eig
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((5, 9, 9))
+    A = (A + np.swapaxes(A, 1, 2)) / 2
+    lam = jax.vmap(jacobi_min_eig)(jnp.asarray(A))
+    ref = np.linalg.eigvalsh(A)[:, 0]
+    np.testing.assert_allclose(np.asarray(lam), ref, rtol=1e-8, atol=1e-9)
+
+
+def test_xf_min_eig_sym_f32_limbs_uses_jacobi():
+    """f32-limb (TPU-numerics) path: min-eig through Cholesky + Jacobi."""
+    rng = np.random.default_rng(11)
+    n = 6
+    L = np.tril(rng.standard_normal((n, n)))
+    np.fill_diagonal(L, np.abs(np.diagonal(L)) + 1.0)
+    M = (L @ L.T).astype(np.float32)
+    dM = rng.standard_normal((n, n)).astype(np.float32)
+    dM = (dM + dM.T) / 2
+    mx = XF.from_float(jnp.asarray(M), k=2)
+    dmx = XF.from_float(jnp.asarray(dM), k=2)
+    lam, ok = jax.jit(xf_min_eig_sym)(mx, dmx)
+    assert bool(ok)
+    Lnp = np.linalg.cholesky(M.astype(np.float64))
+    ref = np.linalg.eigvalsh(
+        np.linalg.solve(Lnp, np.linalg.solve(Lnp, dM.astype(np.float64).T).T)
+    )[0]
+    assert float(lam) <= ref + 1e-4 * max(1.0, abs(ref))
+    assert float(lam) >= ref - 1e-3 * max(1.0, abs(ref))
