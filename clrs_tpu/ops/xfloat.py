@@ -429,7 +429,7 @@ def _td_add(al, bl) -> XF:
     o2 = (s2 + e1) + t2
     r0, u = two_sum(s0, t1)
     r1, r2 = two_sum(u, o2)
-    return XF.from_limb_list([r0, r1, r2])
+    return XF.from_limb_list(_vec_sum([r0, r1, r2]))
 
 
 def _td_mul(al, bl) -> XF:
@@ -443,7 +443,7 @@ def _td_mul(al, bl) -> XF:
     o2t = o2 + (t2 + t3)
     r0, u = two_sum(p00, t1)
     r1, r2 = two_sum(u, o2t)
-    return XF.from_limb_list([r0, r1, r2])
+    return XF.from_limb_list(_vec_sum([r0, r1, r2]))
 
 
 def _qw_add(al, bl) -> XF:
@@ -463,7 +463,7 @@ def _qw_add(al, bl) -> XF:
     r0, a1 = two_sum(s0, t1)
     r1, a2 = two_sum(a1, u2)
     r2, r3 = two_sum(a2, o3)
-    return XF.from_limb_list([r0, r1, r2, r3])
+    return XF.from_limb_list(_vec_sum([r0, r1, r2, r3]))
 
 
 def _qw_mul(al, bl) -> XF:
@@ -494,7 +494,7 @@ def _qw_mul(al, bl) -> XF:
     r0, a1 = two_sum(p00, t1)
     r1, a2 = two_sum(a1, u2)
     r2, r3 = two_sum(a2, o3)
-    return XF.from_limb_list([r0, r1, r2, r3])
+    return XF.from_limb_list(_vec_sum([r0, r1, r2, r3]))
 
 
 def xf_mul(a: XF, b: XF) -> XF:

@@ -205,3 +205,29 @@ def test_jit_and_vmap():
     g = jax.vmap(lambda row: xf_sum(row, axis=0))
     s = g(A)
     assert s.shape == (4,)
+
+
+def test_fast_path_canonical_leading_limb_after_cancellation():
+    """Regression: the k=3/k=4 fast add/mul paths must return expansions
+    with limbs[0] = fl(value).  Before the VecSum pull-up pass, exact
+    cancellation of the two leading orders left the value stranded in
+    limbs[1] with limbs[0] == 0 — downstream, LU pivot selection read
+    |limbs[0]| = 0 and xf_reciprocal's 1/limbs[0] seed produced inf/NaN
+    (the sphere-packing 2d=16 k=4 Schur factorization failure)."""
+    import mpmath
+
+    for k, low in ((3, -90), (4, -120)):
+        a = xf_from_mp(
+            np.array([mpmath.mpf(2) ** 40 + mpmath.mpf(2) ** -30], dtype=object), k=k
+        )
+        b = xf_from_mp(
+            np.array(
+                [-(mpmath.mpf(2) ** 40) - mpmath.mpf(2) ** -30 + mpmath.mpf(2) ** low],
+                dtype=object,
+            ),
+            k=k,
+        )
+        s = xf_add(a, b)
+        lead = float(np.asarray(s.limbs)[0, 0])
+        assert lead != 0.0, (k, np.asarray(s.limbs)[:, 0])
+        assert abs(lead - 2.0**low) < 1e-3 * 2.0**low
