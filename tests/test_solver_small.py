@@ -175,3 +175,55 @@ def test_m2_block():
     # PSD forces x_(0,0),x_(1,1) >= 0 (off-diag free but penalized by PSD)
     # cheapest: put everything in x_(0,0) -> objective 1
     assert abs(res.primal_objective - 1.0) < 1e-9
+
+
+def test_nonzero_C_objective():
+    """Dense C != 0 (the reference's non-AbsoluteZero branch, MPMP.jl:589-592,
+    1031-1034): min <c,x> s.t. B^T x = b, sum_i x_i A_i - C >= 0.
+
+    Orthonormal rank-1 A_i, C = diag(0.2, 0.3): X = diag(x1-0.2, x2-0.3),
+    so x1 >= 0.2, x2 >= 0.3, x1+x2 = 1 -> min 2x1+3x2 = 3 - x1 at x1 = 0.7:
+    objective 2.3.  The dual objective carries the <C, Y> term.
+    """
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    cons = [make_lp_constraint(vs, [[1.0], [1.0]], [2.0, 3.0])]
+    C = [[np.array([[0.2, 0.0], [0.0, 0.3]], dtype=object)]]
+    res = solverank1sdp(
+        cons,
+        [1.0],
+        get_block_info(cons),
+        C=C,
+        omega_p=100.0,
+        omega_d=100.0,
+        maxiterations=200,
+        verbose=False,
+    )
+    assert res.converged, res.status
+    assert abs(res.primal_objective - 2.3) < 1e-10
+    assert abs(res.dual_objective - 2.3) < 1e-10
+    x = np.asarray(res.x.to_float64()).ravel()
+    assert abs(x[0] - 0.7) < 1e-8 and abs(x[1] - 0.3) < 1e-8
+    # X = diag(0.5, 0) at the optimum
+    X00 = np.asarray(res.X[0][0].to_float64())
+    assert abs(X00[0, 0] - 0.5) < 1e-7 and abs(X00[1, 1]) < 1e-7
+
+
+def test_nonzero_C_with_b0_offset():
+    """b0 shifts both objectives identically (MPMP.jl:1029-1034)."""
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    cons = [make_lp_constraint(vs, [[1.0], [1.0]], [2.0, 3.0])]
+    C = [[np.array([[0.2, 0.0], [0.0, 0.3]], dtype=object)]]
+    res = solverank1sdp(
+        cons,
+        [1.0],
+        get_block_info(cons),
+        C=C,
+        b0=10.0,
+        omega_p=100.0,
+        omega_d=100.0,
+        maxiterations=200,
+        verbose=False,
+    )
+    assert res.converged, res.status
+    assert abs(res.primal_objective - 12.3) < 1e-9
+    assert abs(res.dual_objective - 12.3) < 1e-9
