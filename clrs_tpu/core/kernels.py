@@ -34,7 +34,18 @@ from clrs_tpu.ops.xfloat import (
 )
 
 
-def compute_pairings(Z: XF, V: XF, m: int) -> XF:
+def _mm(a: XF, b: XF, use_mxu: bool) -> XF:
+    """Matmul dispatch: expansion-arithmetic VPU path, or the integer-sliced
+    MXU path (ops/mxu_matmul.py) when enabled — the TPU systolic-array route
+    for the pairing/weighted-A products (SolverConfig.use_mxu_matmul)."""
+    if use_mxu and a.ndim == 2 and b.ndim == 2:
+        from clrs_tpu.ops.mxu_matmul import xf_matmul_mxu
+
+        return xf_matmul_mxu(a, b)
+    return xf_matmul(a, b)
+
+
+def compute_pairings(Z: XF, V: XF, m: int, use_mxu: bool = False) -> XF:
     """P[r, t1, s, t2] = V[:,t1]^T Z[r·δ:(r+1)δ, s·δ:(s+1)δ] V[:,t2].
 
     Two expansion matmuls — the reference's per-(r,s) slab products
@@ -45,10 +56,10 @@ def compute_pairings(Z: XF, V: XF, m: int) -> XF:
     Zb = Z.reshape((m, delta, m, delta))
     # ZV[r, d, s, t2] = sum_e Z[r,d,s,e] V[e,t2]
     Zflat = Zb.reshape((m * delta * m, delta))
-    ZV = xf_matmul(Zflat, V).reshape((m, delta, m, T))
+    ZV = _mm(Zflat, V, use_mxu).reshape((m, delta, m, T))
     # P[r, t1, s, t2] = sum_d V[d, t1] ZV[r, d, s, t2]
     ZVt = ZV.transpose(1, 0, 2, 3).reshape((delta, m * m * T))
-    P = xf_matmul(V.T, ZVt).reshape((T, m, m, T))
+    P = _mm(V.T, ZVt, use_mxu).reshape((T, m, m, T))
     return P.transpose(1, 0, 2, 3)  # (m, T, m, T)
 
 
@@ -122,7 +133,7 @@ def trace_A_from_diag(
 
 
 def trace_A_generic(
-    Z: XF, V: XF, H: XF, m: int, K: int, rmax: int
+    Z: XF, V: XF, H: XF, m: int, K: int, rmax: int, use_mxu: bool = False
 ) -> XF:
     """Tr(A_i Z) for a generic symmetric block Z (MPMP.jl:1517-1584).
 
@@ -136,7 +147,7 @@ def trace_A_generic(
     out: List[XF] = []
     for (r, s) in pairs:
         Zrs = Zb[r, :, s, :]  # (delta, delta)
-        M = xf_matmul(Zrs, V)  # (delta, T)
+        M = _mm(Zrs, V, use_mxu)  # (delta, T)
         D = xf_sum(xf_mul(V, M), axis=0)  # (T,)
         w = xf_mul(D, H).reshape((K, rmax))
         out.append(xf_sum(w, axis=1))
@@ -144,7 +155,7 @@ def trace_A_generic(
 
 
 def weighted_A_block(
-    a_j: XF, V: XF, H: XF, m: int, K: int, rmax: int
+    a_j: XF, V: XF, H: XF, m: int, K: int, rmax: int, use_mxu: bool = False
 ) -> XF:
     """sum_i a_i A_i restricted to one (j, l) PSD block (MPMP.jl:1621-1678).
 
@@ -163,7 +174,7 @@ def weighted_A_block(
         a_t = XF(jnp.repeat(a_rs.limbs, rmax, axis=1))  # (T,)
         w = xf_mul(a_t, H)  # (T,)
         U = xf_mul(V, XF(w.limbs[:, None, :]))  # (delta, T) scaled columns
-        W = xf_matmul(U, V.T)  # (delta, delta) = V diag(w) V^T
+        W = _mm(U, V.T, use_mxu)  # (delta, delta) = V diag(w) V^T
         if r == s:
             blocks[r][s] = W
         else:

@@ -98,6 +98,9 @@ class SolverConfig:
     # numerical degradation ladder (reference: sticky booleans, MPMP.jl:717-718)
     use_lu_inverse: bool = False  # X^-1 via LU instead of Cholesky
     use_lu_schur: bool = False  # S_j via LU instead of Cholesky
+    use_mxu_matmul: bool = False  # pairing/weighted-A products through the
+    # integer-sliced MXU matmul (ops/mxu_matmul.py) instead of the VPU
+    # expansion matmul — the systolic-array path for large blocks on TPU
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +145,7 @@ def compute_X_inv(X, info: BlockInfo, use_lu: bool):
     return map_blocks(fn, info, X, out_has_flag=True)
 
 
-def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
+def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool, use_mxu: bool = False):
     """Pairings + Schur complement + saddle-point factorization
     (MPMP.jl:1218-1514), one vmapped instance per cluster shape group.
 
@@ -179,8 +182,8 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
             S_j = XF.zeros((dim, dim), k=k, dtype=dtype)
             ay = []
             for l in range(L):
-                PX = compute_pairings(Xinv_b[l], Vs[l], m)
-                PY = compute_pairings(Y_b[l], Vs[l], m)
+                PX = compute_pairings(Xinv_b[l], Vs[l], m, use_mxu)
+                PY = compute_pairings(Y_b[l], Vs[l], m, use_mxu)
                 ay.append(pairing_diag(PY, m))
                 S_j = xf_add(
                     S_j, schur_block_contribution(PX, PY, Hs[l], m, K, rmaxs[l])
@@ -233,7 +236,7 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool):
     )
 
 
-def compute_weighted_A(problem: SDPProblem, a: XF):
+def compute_weighted_A(problem: SDPProblem, a: XF, use_mxu: bool = False):
     """Block-diagonal sum_i a_i A_i (MPMP.jl:1621-1678), cluster-grouped."""
     from clrs_tpu.core.batched import cluster_groups, stack_xf
 
@@ -247,7 +250,7 @@ def compute_weighted_A(problem: SDPProblem, a: XF):
 
         def fn(a_j, Vs, Hs):
             return [
-                weighted_A_block(a_j, Vs[l], Hs[l], m, K, rmaxs[l])
+                weighted_A_block(a_j, Vs[l], Hs[l], m, K, rmaxs[l], use_mxu)
                 for l in range(L)
             ]
 
@@ -307,7 +310,7 @@ def compute_trace_A_diag(problem: SDPProblem, A_Y):
     return _concat_cluster_vecs(info, parts)
 
 
-def compute_trace_A_generic(problem: SDPProblem, Z):
+def compute_trace_A_generic(problem: SDPProblem, Z, use_mxu: bool = False):
     """Tr(A_* Z) for a generic block-diagonal Z (MPMP.jl:1517-1584)."""
     from clrs_tpu.core.batched import cluster_groups, stack_xf
 
@@ -322,7 +325,7 @@ def compute_trace_A_generic(problem: SDPProblem, Z):
         def fn(Zb, Vs, Hs):
             tr = None
             for l in range(L):
-                t = trace_A_generic(Zb[l], Vs[l], Hs[l], m, K, rmaxs[l])
+                t = trace_A_generic(Zb[l], Vs[l], Hs[l], m, K, rmaxs[l], use_mxu)
                 tr = t if tr is None else xf_add(tr, t)
             return tr
 
@@ -341,11 +344,11 @@ def compute_trace_A_generic(problem: SDPProblem, Z):
     return _concat_cluster_vecs(info, parts)
 
 
-def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
+def compute_residuals(problem: SDPProblem, x, X, y, A_Y, use_mxu: bool = False):
     """P = sum A_i x_i - X - C;  p = b - B^T x;  d = c - Tr(A_* Y) - By
     (MPMP.jl:1107-1144)."""
     info = problem.info
-    P = compute_weighted_A(problem, x)
+    P = compute_weighted_A(problem, x, use_mxu)
     for j in range(info.J):
         for l in range(info.L[j]):
             t = xf_add(P[j][l], -X[j][l])
@@ -386,7 +389,7 @@ def compute_residuals(problem: SDPProblem, x, X, y, A_Y):
     return P, p, d
 
 
-def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur, refine_steps: int = 1):
+def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur, refine_steps: int = 1, use_mxu: bool = False):
     """Predictor/corrector direction via the saddle-point factorization
     (MPMP.jl:1682-1824)."""
     from clrs_tpu.core.batched import cluster_groups, map_blocks, stack_xf
@@ -401,7 +404,7 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
         info, P, Y, R, X_inv,
     )
 
-    rhs_x = xf_add(-d, -compute_trace_A_generic(problem, Z))
+    rhs_x = xf_add(-d, -compute_trace_A_generic(problem, Z, use_mxu))
     rhs_y = p
 
     # saddle solve of [S -B; B^T 0] (dx; dy) = (rhs_x; rhs_y) from the
@@ -500,7 +503,7 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
     dx = XF(jnp.concatenate([d_.limbs for d_ in dxs], axis=1))
 
     # dX = P + sum_i dx_i A_i
-    dX = compute_weighted_A(problem, dx)
+    dX = compute_weighted_A(problem, dx, use_mxu)
     dX = bd_map(xf_add, dX, P)
 
     # dY = Sym(X^-1 (R - dX Y)), batched by block size
@@ -595,17 +598,19 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
 
     @jax.jit
     def phase_decomp(problem, X_inv, Y):
-        return compute_decomposition(problem, X_inv, Y, cfg.use_lu_schur)
+        return compute_decomposition(
+            problem, X_inv, Y, cfg.use_lu_schur, cfg.use_mxu_matmul
+        )
 
     @jax.jit
     def phase_residuals(problem, x, X, y, A_Y):
-        return compute_residuals(problem, x, X, y, A_Y)
+        return compute_residuals(problem, x, X, y, A_Y, cfg.use_mxu_matmul)
 
     @jax.jit
     def phase_direction(problem, P, p, d, R, X_inv, Y, decomp):
         return compute_search_direction(
             problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur,
-            cfg.refine_steps,
+            cfg.refine_steps, cfg.use_mxu_matmul,
         )
 
     @jax.jit

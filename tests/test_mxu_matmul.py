@@ -62,3 +62,25 @@ def test_mxu_matmul_zero_rows():
     B = XF.from_float(np.ones((5, 3)), k=2)
     C = xf_matmul_mxu(A, B)
     assert np.all(np.asarray(C.limbs) == 0)
+
+
+def test_solver_with_mxu_matmul_matches_default():
+    """End-to-end IPM with use_mxu_matmul=True: the integer-sliced MXU path
+    wired through pairings/weighted-A/trace (SolverConfig.use_mxu_matmul)
+    reproduces the default VPU-expansion solve to double-double accuracy."""
+    from clrs_tpu.core.blockinfo import get_block_info
+    from clrs_tpu.core.solver import solverank1sdp
+
+    vs = [np.array([1.0, 0.3]), np.array([-0.2, 1.0])]
+    A = [[[v] for v in vs]]
+    H = [[[1.0], [1.0]]]
+    cons = [(A, np.asarray([[1.0], [2.0]], dtype=object),
+             np.asarray([1.0, 1.0], dtype=object), H)]
+    kwargs = dict(omega_p=100.0, omega_d=100.0, maxiterations=200,
+                  verbose=False, duality_gap_threshold=1e-12,
+                  primal_error_threshold=1e-24, dual_error_threshold=1e-24)
+    res_ref = solverank1sdp(cons, [1.0], get_block_info(cons), **kwargs)
+    res_mxu = solverank1sdp(cons, [1.0], get_block_info(cons),
+                            use_mxu_matmul=True, **kwargs)
+    assert res_ref.converged and res_mxu.converged, (res_ref.status, res_mxu.status)
+    assert abs(res_ref.primal_objective - res_mxu.primal_objective) < 1e-12
