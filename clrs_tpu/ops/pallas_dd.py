@@ -1,0 +1,287 @@
+"""Pallas TPU kernels for double-double (2-limb) linear algebra.
+
+The XLA path (ops/linalg.py) factors each block with a per-column
+`lax.fori_loop` of dynamic-slice ops — correct, but on TPU every loop step
+is a handful of tiny kernel launches, so small-block factorizations are
+launch-latency-bound (the dominant per-iteration cost of the reference's
+problem class, whose PSD blocks are 1-64 wide).  Here the ENTIRE batched
+factorization — Cholesky, forward solve, and the W^T W inverse assembly —
+runs as ONE Pallas kernel: each grid program owns one block resident in
+VMEM, looping over columns on-core with zero launch overhead.
+
+Replaces the reference's Arblib.spd_inv! (MPMP.jl:766) on the TPU path.
+
+Lowering constraints honored here: no dynamic indexing along the lane
+(last) dimension — loop-carried row/column selection uses exact one-hot
+sums, and dd reductions are static-slice halving trees.
+
+EFT safety: Mosaic (the Pallas TPU compiler) lowers arithmetic as written —
+verified on TPU v5e that TwoSum/TwoProd survive compilation bit-exactly
+WITHOUT optimization barriers (which Mosaic cannot lower at all).  In
+interpret mode the kernel body is inlined into the surrounding XLA program,
+whose algebraic simplifier DOES rewrite (a+b)-a -> b — so interpret-mode
+(CPU test) kernels insert `lax.optimization_barrier` exactly like
+ops/xfloat.py.  The `_Ops` helper bundles the two variants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class _Ops:
+    """Double-double primitives on (hi, lo) array pairs.
+
+    barrier=True (interpret/CPU): protect EFTs from the XLA simplifier.
+    barrier=False (Mosaic/TPU): lower as written, verified safe on hardware.
+    """
+
+    def __init__(self, barrier: bool):
+        self._b = jax.lax.optimization_barrier if barrier else (lambda x: x)
+
+    def two_sum(self, a, b):
+        s = self._b(a + b)
+        bb = self._b(s - a)
+        e = (a - (s - bb)) + (b - bb)
+        return s, e
+
+    def fast_two_sum(self, a, b):
+        s = self._b(a + b)
+        return s, b - (s - a)
+
+    def split(self, a):
+        c = jnp.asarray(4097.0 if a.dtype == jnp.float32 else 134217729.0, a.dtype)
+        t = c * a
+        u = self._b(t - a)
+        hi = t - u
+        return hi, a - hi
+
+    def two_prod(self, a, b):
+        p = a * b
+        ah, al = self.split(a)
+        bh, bl = self.split(b)
+        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, e
+
+    def add(self, ah, al, bh, bl):
+        """QD ieee_add (matches ops/xfloat._dd_add)."""
+        s1, s2 = self.two_sum(ah, bh)
+        t1, t2 = self.two_sum(al, bl)
+        s2 = s2 + t1
+        s1, s2 = self.fast_two_sum(s1, s2)
+        s2 = s2 + t2
+        return self.fast_two_sum(s1, s2)
+
+    def mul(self, ah, al, bh, bl):
+        p, e = self.two_prod(ah, bh)
+        e = e + (ah * bl + al * bh)
+        return self.fast_two_sum(p, e)
+
+    def div(self, ah, al, bh, bl):
+        """Reciprocal Newton + one refinement (matches xf_div at k=2)."""
+        safe = jnp.where(bh != 0, bh, jnp.ones_like(bh))
+        xh = 1.0 / safe
+        xl = jnp.zeros_like(xh)
+        for _ in range(2):
+            # x <- x + x*(1 - b*x)
+            th, tl = self.mul(bh, bl, xh, xl)
+            eh, el = self.add(jnp.ones_like(th), jnp.zeros_like(tl), -th, -tl)
+            ch, cl = self.mul(xh, xl, eh, el)
+            xh, xl = self.add(xh, xl, ch, cl)
+        qh, ql = self.mul(ah, al, xh, xl)
+        # refinement: q += (a - b*q) * x
+        th, tl = self.mul(bh, bl, qh, ql)
+        rh, rl = self.add(ah, al, -th, -tl)
+        ch, cl = self.mul(rh, rl, xh, xl)
+        return self.add(qh, ql, ch, cl)
+
+    def sqrt(self, ah, al):
+        """rsqrt Newton (matches xf_sqrt at k=2); a >= 0, 0 allowed."""
+        pos = ah > 0
+        safe_h = jnp.where(pos, ah, jnp.ones_like(ah))
+        safe_l = jnp.where(pos, al, jnp.zeros_like(al))
+        xh = jax.lax.rsqrt(safe_h)
+        xl = jnp.zeros_like(xh)
+        half = jnp.asarray(0.5, ah.dtype)
+        for _ in range(2):
+            # x <- x + 0.5*x*(1 - a*x*x)
+            x2h, x2l = self.mul(xh, xl, xh, xl)
+            th, tl = self.mul(safe_h, safe_l, x2h, x2l)
+            eh, el = self.add(jnp.ones_like(th), jnp.zeros_like(tl), -th, -tl)
+            ch, cl = self.mul(xh, xl, eh, el)
+            xh, xl = self.add(xh, xl, half * ch, half * cl)
+        sh, sl = self.mul(safe_h, safe_l, xh, xl)
+        # refinement: s += (a - s*s) * x / 2
+        s2h, s2l = self.mul(sh, sl, sh, sl)
+        eh, el = self.add(safe_h, safe_l, -s2h, -s2l)
+        ch, cl = self.mul(eh, el, xh, xl)
+        sh, sl = self.add(sh, sl, half * ch, half * cl)
+        zero = jnp.zeros_like(sh)
+        return jnp.where(pos, sh, zero), jnp.where(pos, sl, zero)
+
+    def sum_axis(self, ph, plo, axis: int):
+        """dd sum along an axis: zero-padded static halving tree (exact dd
+        adds; no dynamic indexing)."""
+        m = ph.shape[axis]
+        np2 = 1
+        while np2 < m:
+            np2 *= 2
+        if np2 != m:
+            pad = [(0, 0)] * ph.ndim
+            pad[axis] = (0, np2 - m)
+            ph = jnp.pad(ph, pad)
+            plo = jnp.pad(plo, pad)
+        while np2 > 1:
+            half = np2 // 2
+            ah = jax.lax.slice_in_dim(ph, 0, half, axis=axis)
+            al = jax.lax.slice_in_dim(plo, 0, half, axis=axis)
+            bh = jax.lax.slice_in_dim(ph, half, np2, axis=axis)
+            bl = jax.lax.slice_in_dim(plo, half, np2, axis=axis)
+            ph, plo = self.add(ah, al, bh, bl)
+            np2 = half
+        return jnp.squeeze(ph, axis=axis), jnp.squeeze(plo, axis=axis)
+
+
+def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
+                        *, n: int, ops: _Ops):
+    """One block: A = L L^T (Cholesky), W = L^-1 (forward solve),
+    A^-1 = W^T W.  All dd, all VMEM-resident; loop-carried row/column
+    selection via exact one-hot sums (no lane-dim dynamic indexing)."""
+    dd = ops
+    dtype = a_ref.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    lh_ref[:] = jnp.zeros((n, n), dtype)
+    ll_ref[:] = jnp.zeros((n, n), dtype)
+    ok_ref[0, 0] = jnp.int32(1)
+
+    Ah = a_ref[0, 0, :, :]
+    Al = a_ref[0, 1, :, :]
+
+    def chol_col(j, _):
+        Lh = lh_ref[:]
+        Ll = ll_ref[:]
+        rowsel = (rows == j).astype(dtype)          # one-hot row j
+        colsel = (cols == j).astype(dtype)          # one-hot col j
+        rowjh = jnp.sum(Lh * rowsel, axis=0)        # L[j, :], exact
+        rowjl = jnp.sum(Ll * rowsel, axis=0)
+        Ajh = jnp.sum(Ah * colsel, axis=1)          # A[:, j], exact
+        Ajl = jnp.sum(Al * colsel, axis=1)
+        # s = A[:, j] - L @ rowj  (dd matvec via halving tree over lanes)
+        ph, plo = dd.mul(Lh, Ll, rowjh[None, :], rowjl[None, :])  # (n, n)
+        acc_h, acc_l = dd.sum_axis(ph, plo, axis=1)
+        sh, sl = dd.add(Ajh, Ajl, -acc_h, -acc_l)
+        onej = (rows[:, 0] == j).astype(dtype)      # (n,) one-hot vector
+        djj_h = jnp.sum(sh * onej)
+        djj_l = jnp.sum(sl * onej)
+        ok_ref[0, 0] = ok_ref[0, 0] * jnp.where(djj_h > 0, 1, 0).astype(jnp.int32)
+        safe_h = jnp.where(djj_h > 0, djj_h, jnp.asarray(1.0, dtype))
+        safe_l = jnp.where(djj_h > 0, djj_l, jnp.asarray(0.0, dtype))
+        ljj_h, ljj_l = dd.sqrt(safe_h, safe_l)
+        ch, cl = dd.div(sh, sl, ljj_h, ljj_l)
+        below = rows[:, 0] > j
+        at = rows[:, 0] == j
+        ch = jnp.where(at, ljj_h, jnp.where(below, ch, 0.0))
+        cl = jnp.where(at, ljj_l, jnp.where(below, cl, 0.0))
+        # write column j (mask-merge, no dynamic store)
+        lh_ref[:] = jnp.where(cols == j, ch[:, None], Lh)
+        ll_ref[:] = jnp.where(cols == j, cl[:, None], Ll)
+        return 0
+
+    jax.lax.fori_loop(0, n, chol_col, 0, unroll=False)
+
+    # W = L^-1 by forward substitution, one row at a time
+    wh_ref[:] = jnp.zeros((n, n), dtype)
+    wl_ref[:] = jnp.zeros((n, n), dtype)
+
+    def solve_row(i, _):
+        Lh = lh_ref[:]
+        Ll = ll_ref[:]
+        Wh = wh_ref[:]
+        Wl = wl_ref[:]
+        rowsel = (rows == i).astype(dtype)
+        rowlh = jnp.sum(Lh * rowsel, axis=0)        # L[i, :]
+        rowll = jnp.sum(Ll * rowsel, axis=0)
+        # acc[c] = sum_t L[i,t] W[t,c]  (W rows >= i still zero)
+        ph, plo = dd.mul(rowlh[:, None], rowll[:, None], Wh, Wl)
+        acc_h, acc_l = dd.sum_axis(ph, plo, axis=0)
+        onei = (rows[:, 0] == i).astype(dtype)
+        ei = onei                                    # row i of I
+        nh, nl = dd.add(ei, jnp.zeros_like(ei), -acc_h, -acc_l)
+        dh = jnp.sum(rowlh * onei)                   # L[i, i]
+        dl = jnp.sum(rowll * onei)
+        qh, ql = dd.div(nh, nl, dh, dl)
+        wh_ref[:] = jnp.where(rows == i, qh[None, :], Wh)
+        wl_ref[:] = jnp.where(rows == i, ql[None, :], Wl)
+        return 0
+
+    jax.lax.fori_loop(0, n, solve_row, 0, unroll=False)
+
+    # inv = W^T W  (dd rank-1 accumulation over rows of W)
+    def wtw_body(t, carry):
+        ah, al = carry
+        rowsel = (rows == t).astype(dtype)
+        rh = jnp.sum(wh_ref[:] * rowsel, axis=0)
+        rl = jnp.sum(wl_ref[:] * rowsel, axis=0)
+        ph, plo = dd.mul(rh[:, None], rl[:, None], rh[None, :], rl[None, :])
+        return dd.add(ah, al, ph, plo)
+
+    inv_h, inv_l = jax.lax.fori_loop(
+        0, n, wtw_body,
+        (jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype)),
+        unroll=False,
+    )
+    out_ref[0, 0, :, :] = inv_h
+    out_ref[0, 1, :, :] = inv_l
+
+
+def dd_spd_inverse_pallas(limbs: jnp.ndarray, interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched dd SPD inverse: limbs (B, 2, n, n) -> (inv (B, 2, n, n),
+    ok (B,) bool).  One grid program per block; everything VMEM-resident.
+    """
+    B, two, n, _ = limbs.shape
+    assert two == 2
+    dtype = limbs.dtype
+    ops = _Ops(barrier=interpret)
+    kernel = functools.partial(_spd_inverse_kernel, n=n, ops=ops)
+    inv, ok = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 2, n, n), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, n, n), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, n, n), dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), dtype),  # L hi
+            pltpu.VMEM((n, n), dtype),  # L lo
+            pltpu.VMEM((n, n), dtype),  # W hi
+            pltpu.VMEM((n, n), dtype),  # W lo
+        ],
+        interpret=interpret,
+    )(limbs)
+    return inv, ok[:, 0] > 0
+
+
+def xf_spd_inverse_pallas_batched(x_limbs: jnp.ndarray, interpret: bool = False):
+    """Adapter for the solver's stacked-XF layout: limbs (2, B, n, n)."""
+    inv, ok = dd_spd_inverse_pallas(
+        jnp.swapaxes(x_limbs, 0, 1), interpret=interpret
+    )
+    return jnp.swapaxes(inv, 0, 1), ok
