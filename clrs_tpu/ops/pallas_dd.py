@@ -225,21 +225,28 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
     jax.lax.fori_loop(0, n, solve_row, 0, unroll=False)
 
     # inv = W^T W  (dd rank-1 accumulation over rows of W)
-    def wtw_body(t, carry):
-        ah, al = carry
+    #
+    # The accumulator is ONE stacked (2, n, n) array, not a (hi, lo) tuple:
+    # XLA:CPU at --xla_backend_optimization_level>=1 applies value-changing
+    # codegen to fori_loop bodies whose carry is a tuple of separate arrays,
+    # destroying the error-free transforms (lo limb degrades to ~1e-16);
+    # with a single stacked carry the loop compiles exactly.  (Found
+    # empirically; this is also why the XF stacked-limb layout used
+    # everywhere else in the solver is immune.)  Matters in interpret mode
+    # (CPU tests) only — Mosaic lowers the TPU path as written.
+    def wtw_body(t, acc):
         rowsel = (rows == t).astype(dtype)
         rh = jnp.sum(wh_ref[:] * rowsel, axis=0)
         rl = jnp.sum(wl_ref[:] * rowsel, axis=0)
         ph, plo = dd.mul(rh[:, None], rl[:, None], rh[None, :], rl[None, :])
-        return dd.add(ah, al, ph, plo)
+        oh, ol = dd.add(acc[0], acc[1], ph, plo)
+        return jnp.stack([oh, ol])
 
-    inv_h, inv_l = jax.lax.fori_loop(
-        0, n, wtw_body,
-        (jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype)),
-        unroll=False,
+    inv = jax.lax.fori_loop(
+        0, n, wtw_body, jnp.zeros((2, n, n), dtype), unroll=False,
     )
-    out_ref[0, 0, :, :] = inv_h
-    out_ref[0, 1, :, :] = inv_l
+    out_ref[0, 0, :, :] = inv[0]
+    out_ref[0, 1, :, :] = inv[1]
 
 
 def dd_spd_inverse_pallas(limbs: jnp.ndarray, interpret: bool = False
