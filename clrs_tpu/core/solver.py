@@ -101,6 +101,10 @@ class SolverConfig:
     use_mxu_matmul: bool = False  # pairing/weighted-A products through the
     # integer-sliced MXU matmul (ops/mxu_matmul.py) instead of the VPU
     # expansion matmul — the systolic-array path for large blocks on TPU
+    use_pallas_inverse: bool = False  # dd (k=2) X^-1 through the fused
+    # Pallas SPD-inverse kernel (ops/pallas_dd.py): whole batched
+    # Cholesky+solve+W^T W per block in ONE kernel, VMEM-resident — removes
+    # the per-column launch latency of the XLA fori_loop factorization
 
 
 # ---------------------------------------------------------------------------
@@ -132,9 +136,12 @@ def compute_residual_R(X, Y, mu: XF, info: BlockInfo, dX=None, dY=None):
     return map_blocks(fn2, info, X, Y, dX, dY)
 
 
-def compute_X_inv(X, info: BlockInfo, use_lu: bool):
+def compute_X_inv(X, info: BlockInfo, use_lu: bool, use_pallas: bool = False):
     """Per-block SPD inverse with ok flags (MPMP.jl:762-801), batched."""
     from clrs_tpu.core.batched import map_blocks
+
+    if use_pallas and not use_lu:
+        return _compute_X_inv_pallas(X, info)
 
     inv_fn = xf_inverse_lu if use_lu else xf_spd_inverse
 
@@ -143,6 +150,30 @@ def compute_X_inv(X, info: BlockInfo, use_lu: bool):
         return xf_sym(inv), okb
 
     return map_blocks(fn, info, X, out_has_flag=True)
+
+
+def _compute_X_inv_pallas(X, info: BlockInfo):
+    """dd X^-1 via the fused Pallas SPD-inverse kernel, one call per
+    block-size group (each grid program factors one block in VMEM)."""
+    from clrs_tpu.core.batched import block_groups, stack_xf, unstack_xf
+    from clrs_tpu.ops.pallas_dd import xf_spd_inverse_pallas_batched
+
+    interpret = jax.default_backend() == "cpu"
+    out = [[None] * info.L[j] for j in range(info.J)]
+    ok = jnp.bool_(True)
+    for size, jls in block_groups(info).items():
+        stacked = stack_xf([X[j][l] for (j, l) in jls])
+        if stacked.k != 2:
+            raise ValueError(
+                "use_pallas_inverse supports k=2 (double-double) limbs only"
+            )
+        inv_limbs, okb = xf_spd_inverse_pallas_batched(
+            stacked.limbs, interpret=interpret
+        )
+        ok = ok & jnp.all(okb)
+        for i, (j, l) in enumerate(jls):
+            out[j][l] = XF(inv_limbs[:, i])
+    return out, ok
 
 
 def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool, use_mxu: bool = False):
@@ -593,7 +624,9 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
         zero = XF.zeros((), k=k, dtype=dtype)
         mu_p = xf_where(pd_feas, zero, xf_mul(mu, cfg.beta_infeasible))
         R = compute_residual_R(X, Y, mu_p, info)
-        X_inv, ok_inv = compute_X_inv(X, info, cfg.use_lu_inverse)
+        X_inv, ok_inv = compute_X_inv(
+            X, info, cfg.use_lu_inverse, cfg.use_pallas_inverse
+        )
         return mu, R, X_inv, ok_inv
 
     @jax.jit

@@ -148,7 +148,7 @@ class _Ops:
         return jnp.squeeze(ph, axis=axis), jnp.squeeze(plo, axis=axis)
 
 
-def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
+def _spd_inverse_kernel(a_ref, out_ref, okf_ref, lh_ref, ll_ref, wh_ref, wl_ref,
                         *, n: int, ops: _Ops):
     """One block: A = L L^T (Cholesky), W = L^-1 (forward solve),
     A^-1 = W^T W.  All dd, all VMEM-resident; loop-carried row/column
@@ -157,10 +157,20 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
     dtype = a_ref.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    # NOTE: one-hot masks use jnp.where(pred, 1.0, 0.0) rather than
+    # pred.astype(float): Mosaic's convert_element_type lowering rule
+    # recurses infinitely on bool->float converts (stack overflow at
+    # lowering time on real TPU; interpret mode unaffected).
 
     lh_ref[:] = jnp.zeros((n, n), dtype)
     ll_ref[:] = jnp.zeros((n, n), dtype)
-    ok_ref[0, 0] = jnp.int32(1)
+    # Pivot-positivity flags: one f32 lane per column, reduced to a bool on
+    # the XLA side.  (Mosaic cannot lower rank-1 -> scalar vector reductions
+    # — "Not implemented: Offset change" — so the kernel never materializes
+    # a scalar.)
+    okf_ref[0, 0, :] = jnp.ones((n,), dtype)
 
     Ah = a_ref[0, 0, :, :]
     Al = a_ref[0, 1, :, :]
@@ -168,8 +178,8 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
     def chol_col(j, _):
         Lh = lh_ref[:]
         Ll = ll_ref[:]
-        rowsel = (rows == j).astype(dtype)          # one-hot row j
-        colsel = (cols == j).astype(dtype)          # one-hot col j
+        rowsel = jnp.where(rows == j, one, zero)    # one-hot row j
+        colsel = jnp.where(cols == j, one, zero)    # one-hot col j
         rowjh = jnp.sum(Lh * rowsel, axis=0)        # L[j, :], exact
         rowjl = jnp.sum(Ll * rowsel, axis=0)
         Ajh = jnp.sum(Ah * colsel, axis=1)          # A[:, j], exact
@@ -178,12 +188,17 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
         ph, plo = dd.mul(Lh, Ll, rowjh[None, :], rowjl[None, :])  # (n, n)
         acc_h, acc_l = dd.sum_axis(ph, plo, axis=1)
         sh, sl = dd.add(Ajh, Ajl, -acc_h, -acc_l)
-        onej = (rows[:, 0] == j).astype(dtype)      # (n,) one-hot vector
-        djj_h = jnp.sum(sh * onej)
-        djj_l = jnp.sum(sl * onej)
-        ok_ref[0, 0] = ok_ref[0, 0] * jnp.where(djj_h > 0, 1, 0).astype(jnp.int32)
-        safe_h = jnp.where(djj_h > 0, djj_h, jnp.asarray(1.0, dtype))
-        safe_l = jnp.where(djj_h > 0, djj_l, jnp.asarray(0.0, dtype))
+        onej = jnp.where(rows[:, 0] == j, one, zero)  # (n,) one-hot vector
+        # pivot s[j] as a broadcast (n,) vector: 2-D lane reduction of the
+        # masked row (rank-1 -> scalar reductions don't lower in Mosaic)
+        djj_h = jnp.sum(jnp.broadcast_to(sh[None, :] * onej[None, :], (n, n)),
+                        axis=1)
+        djj_l = jnp.sum(jnp.broadcast_to(sl[None, :] * onej[None, :], (n, n)),
+                        axis=1)
+        flag = jnp.where(djj_h > 0, one, zero)      # (n,), all entries equal
+        okf_ref[0, 0, :] = jnp.where(cols[0, :] == j, flag, okf_ref[0, 0, :])
+        safe_h = jnp.where(djj_h > 0, djj_h, one)
+        safe_l = jnp.where(djj_h > 0, djj_l, zero)
         ljj_h, ljj_l = dd.sqrt(safe_h, safe_l)
         ch, cl = dd.div(sh, sl, ljj_h, ljj_l)
         below = rows[:, 0] > j
@@ -193,9 +208,14 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
         # write column j (mask-merge, no dynamic store)
         lh_ref[:] = jnp.where(cols == j, ch[:, None], Lh)
         ll_ref[:] = jnp.where(cols == j, cl[:, None], Ll)
-        return 0
+        return jnp.int32(0)  # i64 carries don't legalize in Mosaic
 
-    jax.lax.fori_loop(0, n, chol_col, 0, unroll=False)
+    # int32 loop bounds: with jax_enable_x64 a python-int bound makes the
+    # counter int64, and `rows == j` then emits an int32->int64 convert
+    # that Mosaic's _convert_helper recurses on infinitely (64-bit ints
+    # are unsupported in TPU kernels).
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_col, jnp.int32(0),
+                      unroll=False)
 
     # W = L^-1 by forward substitution, one row at a time
     wh_ref[:] = jnp.zeros((n, n), dtype)
@@ -206,23 +226,27 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
         Ll = ll_ref[:]
         Wh = wh_ref[:]
         Wl = wl_ref[:]
-        rowsel = (rows == i).astype(dtype)
+        rowsel = jnp.where(rows == i, one, zero)
         rowlh = jnp.sum(Lh * rowsel, axis=0)        # L[i, :]
         rowll = jnp.sum(Ll * rowsel, axis=0)
         # acc[c] = sum_t L[i,t] W[t,c]  (W rows >= i still zero)
         ph, plo = dd.mul(rowlh[:, None], rowll[:, None], Wh, Wl)
         acc_h, acc_l = dd.sum_axis(ph, plo, axis=0)
-        onei = (rows[:, 0] == i).astype(dtype)
+        onei = jnp.where(rows[:, 0] == i, one, zero)
         ei = onei                                    # row i of I
         nh, nl = dd.add(ei, jnp.zeros_like(ei), -acc_h, -acc_l)
-        dh = jnp.sum(rowlh * onei)                   # L[i, i]
-        dl = jnp.sum(rowll * onei)
+        # L[i, i] as a broadcast (n,) vector (same Mosaic constraint)
+        dh = jnp.sum(jnp.broadcast_to(rowlh[None, :] * onei[None, :], (n, n)),
+                     axis=1)
+        dl = jnp.sum(jnp.broadcast_to(rowll[None, :] * onei[None, :], (n, n)),
+                     axis=1)
         qh, ql = dd.div(nh, nl, dh, dl)
         wh_ref[:] = jnp.where(rows == i, qh[None, :], Wh)
         wl_ref[:] = jnp.where(rows == i, ql[None, :], Wl)
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, n, solve_row, 0, unroll=False)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_row, jnp.int32(0),
+                      unroll=False)
 
     # inv = W^T W  (dd rank-1 accumulation over rows of W)
     #
@@ -235,7 +259,7 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
     # everywhere else in the solver is immune.)  Matters in interpret mode
     # (CPU tests) only — Mosaic lowers the TPU path as written.
     def wtw_body(t, acc):
-        rowsel = (rows == t).astype(dtype)
+        rowsel = jnp.where(rows == t, one, zero)
         rh = jnp.sum(wh_ref[:] * rowsel, axis=0)
         rl = jnp.sum(wl_ref[:] * rowsel, axis=0)
         ph, plo = dd.mul(rh[:, None], rl[:, None], rh[None, :], rl[None, :])
@@ -243,10 +267,15 @@ def _spd_inverse_kernel(a_ref, out_ref, ok_ref, lh_ref, ll_ref, wh_ref, wl_ref,
         return jnp.stack([oh, ol])
 
     inv = jax.lax.fori_loop(
-        0, n, wtw_body, jnp.zeros((2, n, n), dtype), unroll=False,
+        jnp.int32(0), jnp.int32(n), wtw_body, jnp.zeros((2, n, n), dtype),
+        unroll=False,
     )
     out_ref[0, 0, :, :] = inv[0]
     out_ref[0, 1, :, :] = inv[1]
+
+
+import numpy as _np
+_i0 = _np.int32(0)
 
 
 def dd_spd_inverse_pallas(limbs: jnp.ndarray, interpret: bool = False
@@ -259,21 +288,27 @@ def dd_spd_inverse_pallas(limbs: jnp.ndarray, interpret: bool = False
     dtype = limbs.dtype
     ops = _Ops(barrier=interpret)
     kernel = functools.partial(_spd_inverse_kernel, n=n, ops=ops)
-    inv, ok = pl.pallas_call(
+    inv, okf = pl.pallas_call(
         kernel,
         grid=(B,),
+        # index maps return int32 zeros: python-int components become i64
+        # under jax_enable_x64, and Mosaic cannot legalize an i64-returning
+        # index-map function
         in_specs=[
-            pl.BlockSpec((1, 2, n, n), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, n, n), lambda b: (b, _i0, _i0, _i0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 2, n, n), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, n, n), lambda b: (b, _i0, _i0, _i0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            # per-column pivot flags (f32 lanes); scalar/SMEM outputs hit
+            # Mosaic lowering limits, so the bool reduction happens in XLA
+            pl.BlockSpec((1, 1, n), lambda b: (b, _i0, _i0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 2, n, n), dtype),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, n), dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, n), dtype),  # L hi
@@ -283,7 +318,7 @@ def dd_spd_inverse_pallas(limbs: jnp.ndarray, interpret: bool = False
         ],
         interpret=interpret,
     )(limbs)
-    return inv, ok[:, 0] > 0
+    return inv, jnp.all(okf > 0.5, axis=(1, 2))
 
 
 def xf_spd_inverse_pallas_batched(x_limbs: jnp.ndarray, interpret: bool = False):

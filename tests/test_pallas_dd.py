@@ -77,3 +77,25 @@ def test_pallas_spd_inverse_f32_limbs():
         got = np.asarray(inv_p[b, 0], np.float64) + np.asarray(inv_p[b, 1], np.float64)
         scale = np.max(np.abs(want))
         assert np.max(np.abs(got - want)) < 1e-11 * scale
+
+
+def test_solver_with_pallas_inverse_matches_default():
+    """End-to-end IPM with use_pallas_inverse=True (interpret mode on CPU):
+    the fused Pallas SPD-inverse (SolverConfig.use_pallas_inverse) reproduces
+    the default XLA fori_loop factorization path to double-double accuracy."""
+    from clrs_tpu.core.blockinfo import get_block_info
+    from clrs_tpu.core.solver import solverank1sdp
+
+    vs = [np.array([1.0, 0.3]), np.array([-0.2, 1.0])]
+    A = [[[v] for v in vs]]
+    H = [[[1.0], [1.0]]]
+    cons = [(A, np.asarray([[1.0], [2.0]], dtype=object),
+             np.asarray([1.0, 1.0], dtype=object), H)]
+    kwargs = dict(omega_p=100.0, omega_d=100.0, maxiterations=200,
+                  verbose=False, duality_gap_threshold=1e-12,
+                  primal_error_threshold=1e-24, dual_error_threshold=1e-24)
+    res_ref = solverank1sdp(cons, [1.0], get_block_info(cons), **kwargs)
+    res_pl = solverank1sdp(cons, [1.0], get_block_info(cons),
+                           use_pallas_inverse=True, **kwargs)
+    assert res_ref.converged and res_pl.converged, (res_ref.status, res_pl.status)
+    assert abs(res_ref.primal_objective - res_pl.primal_objective) < 1e-12
