@@ -1,0 +1,642 @@
+"""Heterogeneous cluster-sharded IPM step over a device mesh.
+
+The reference load-balances arbitrary mixes of cluster shapes over CPU
+threads (distribute_weights_swapping + Threads.@threads, MPMP.jl:425-499).
+The TPU equivalent here: clusters are grouped into *bundles* of identical
+shape signature (m, K, per-l delta/rmax) — stacked on a batch axis — and
+every bundle's cluster axis is sharded over the same mesh axis "cluster".
+One SPMD step (a single shard_map/jit) runs all bundles: per-bundle compute
+is vmapped, and the five cross-cluster reductions (SURVEY.md §5.8:
+p-partials, Q-partials, dy rhs, step-length min, scalar dots) are the only
+communication, all O(n_y^2) or smaller.
+
+Bundles whose cluster count does not divide the mesh are padded with dummy
+clusters (V=H=B=c=0) carried by a `valid` mask:
+  - the padded Schur block gets +I (else S is singular);
+  - the padded primal residual P is masked to 0 (else dX=-X caps alpha);
+  - padded step-length eigenvalues are masked to +inf;
+  - padded <X,Y> contributions are masked out of mu/r/objectives.
+Everything else is zero by construction (B=c=H=0 rows contribute exact
+zeros to p, d, Q, dy).
+
+Unlike parallel/sharded.py's homogeneous demo step (L=1 synthetic data),
+this path consumes a real packed SDPProblem (core/problem.py), supports
+multiple inner blocks per cluster (L>1), any limb count k, and is the
+multi-chip/multi-host execution path for the reference's applications
+(sphere packing: one big polynomial cluster + many 1x1 sign clusters,
+examples/SpherePacking.jl:99-105).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from clrs_tpu.core.blockinfo import BlockInfo
+from clrs_tpu.core.kernels import (
+    compute_pairings,
+    pairing_diag,
+    schur_block_contribution,
+    trace_A_from_diag,
+    trace_A_generic,
+    weighted_A_block,
+)
+from clrs_tpu.core.problem import SDPProblem
+from clrs_tpu.ops.linalg import xf_min_eig_sym, xf_spd_inverse, xf_sym
+from clrs_tpu.ops.xfloat import (
+    XF,
+    xf_add,
+    xf_div,
+    xf_matmul,
+    xf_mul,
+    xf_sum,
+    xf_where,
+)
+
+
+@dataclass(frozen=True)
+class BundleShape:
+    """Static shape signature of one cluster bundle (jit-static)."""
+
+    J: int  # clusters in the bundle INCLUDING divisibility padding
+    J_real: int  # clusters that carry real data
+    m: int
+    K: int
+    deltas: Tuple[int, ...]  # per inner block l
+    rmaxs: Tuple[int, ...]
+
+    @property
+    def L(self) -> int:
+        return len(self.deltas)
+
+    @property
+    def npairs(self) -> int:
+        return self.m * (self.m + 1) // 2
+
+    @property
+    def dim_S(self) -> int:
+        return self.npairs * self.K
+
+    def bs(self, l: int) -> int:
+        return self.m * self.deltas[l]
+
+    @property
+    def psd_size(self) -> int:
+        return sum(self.bs(l) for l in range(self.L))
+
+
+def _signature(info: BlockInfo, j: int):
+    return (
+        info.m[j],
+        info.n_samples[j],
+        tuple(info.delta[j]),
+        tuple(info.rmax[j]),
+    )
+
+
+def _stack1(xs: Sequence[XF]) -> XF:
+    """Stack XF leaves on a new value axis 0 (limbs axis 1)."""
+    return XF(jnp.stack([x.limbs for x in xs], axis=1))
+
+
+def bundles_from_problem(
+    problem: SDPProblem, n_devices: int
+) -> Tuple[List[BundleShape], List[Dict[str, Any]], List[List[int]]]:
+    """Group a packed problem's clusters into homogeneous bundles, padding
+    each bundle's cluster count to a multiple of n_devices.
+
+    Returns (shapes, data, owners) where owners[b] lists the original
+    cluster indices j of bundle b's real slots (for scattering x back).
+    """
+    info = problem.info
+    groups: Dict[tuple, List[int]] = {}
+    order: List[tuple] = []
+    for j in range(info.J):
+        sig = _signature(info, j)
+        if sig not in groups:
+            groups[sig] = []
+            order.append(sig)
+        groups[sig].append(j)
+
+    shapes: List[BundleShape] = []
+    data: List[Dict[str, Any]] = []
+    owners: List[List[int]] = []
+    k = problem.b.k
+    dtype = problem.b.dtype
+    n_y = info.n_y
+    for sig in order:
+        js = groups[sig]
+        m, K, deltas, rmaxs = sig
+        J_real = len(js)
+        J = -(-J_real // n_devices) * n_devices  # round up
+        shape = BundleShape(J=J, J_real=J_real, m=m, K=K,
+                            deltas=tuple(deltas), rmaxs=tuple(rmaxs))
+        cl = [problem.clusters[j] for j in js]
+
+        def padstack(leaves: List[XF], zshape) -> XF:
+            pads = [XF.zeros(zshape, k=k, dtype=dtype)] * (J - J_real)
+            return _stack1(list(leaves) + pads)
+
+        V = [
+            padstack([c.Vs[l] for c in cl], (deltas[l], K * rmaxs[l]))
+            for l in range(shape.L)
+        ]
+        H = [
+            padstack([c.Hs[l] for c in cl], (K * rmaxs[l],))
+            for l in range(shape.L)
+        ]
+        B = padstack([c.B for c in cl], (shape.dim_S, n_y))
+        c_ = padstack([c.c for c in cl], (shape.dim_S, 1))
+        valid = jnp.asarray(
+            [1.0] * J_real + [0.0] * (J - J_real), dtype=dtype
+        )
+        data.append(dict(V=tuple(V), H=tuple(H), B=B, c=c_, valid=valid))
+        shapes.append(shape)
+        owners.append(js)
+    return shapes, data, owners
+
+
+def initial_bundle_state(
+    shapes: Sequence[BundleShape],
+    omega_p: float,
+    omega_d: float,
+    k: int,
+    dtype,
+    n_y: int,
+):
+    """Cold start (MPMP.jl:659-686): x=0, y=0, X=omega_p I, Y=omega_d I.
+    Padded clusters start at X=Y=I (any SPD value works; they are masked)."""
+    bstates = []
+    for sh in shapes:
+        x = XF.zeros((sh.J, sh.dim_S, 1), k=k, dtype=dtype)
+        Xs, Ys = [], []
+        for l in range(sh.L):
+            bs = sh.bs(l)
+            eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (sh.J, bs, bs))
+            Xs.append(XF.from_float(eye * omega_p, k=k))
+            Ys.append(XF.from_float(eye * omega_d, k=k))
+        bstates.append((x, tuple(Xs), tuple(Ys)))
+    y = XF.zeros((n_y, 1), k=k, dtype=dtype)
+    return tuple(bstates), y
+
+
+def make_cluster_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("cluster",))
+
+
+def make_hetero_step(
+    shapes: Sequence[BundleShape],
+    mesh: Mesh,
+    b: XF,
+    cfg=None,
+    b0: Optional[XF] = None,
+):
+    """Build the jitted cluster-sharded IPM step over all bundles.
+
+    Call signature of the returned function:
+      (data: tuple of bundle dicts, state: (bstates, y), pd_feas: bool)
+      -> ((bstates, y), diag)
+    where bstates[b] = (x_b, X_b tuple, Y_b tuple).
+    """
+    from clrs_tpu.core.solver import SolverConfig
+
+    cfg = cfg or SolverConfig()
+    k = b.k
+    dtype = b.dtype
+    n_y = b.shape[0]
+    beta_inf = cfg.beta_infeasible
+    gamma = cfg.gamma
+    Ktot = float(sum(sh.J_real * sh.psd_size for sh in shapes))
+    nB = len(shapes)
+
+    def allsum(v: XF) -> XF:
+        """Sum a per-cluster XF over ALL clusters of one bundle: all-gather
+        the per-device partials and tree-sum in canonical cluster order
+        (full XF precision, bitwise identical for any device count)."""
+        gathered = jax.lax.all_gather(v.limbs, "cluster", axis=1, tiled=True)
+        return xf_sum(XF(gathered), axis=0)
+
+    def vb(fn, *in_axes):
+        return jax.vmap(fn, in_axes=in_axes or 1, out_axes=1)
+
+    def step_spmd(data, state, pd_feas):
+        bstates, y = state
+        infs = []  # collected scalars
+
+        # ---- mu = <X, Y> / Ktot over real clusters of all bundles ----
+        mu_parts = []
+        for bi, sh in enumerate(shapes):
+            x_b, Xs, Ys = bstates[bi]
+            valid = data[bi]["valid"]
+            percl = None
+            for l in range(sh.L):
+                d = jax.vmap(
+                    lambda Xj, Yj: xf_sum(xf_mul(Xj, Yj).reshape((-1,)), axis=0),
+                    in_axes=1, out_axes=1,
+                )(Xs[l], Ys[l])
+                percl = d if percl is None else xf_add(percl, d)
+            percl = XF(percl.limbs * valid[None, :])
+            mu_parts.append(allsum(percl))
+        mu_sum = mu_parts[0]
+        for t in mu_parts[1:]:
+            mu_sum = xf_add(mu_sum, t)
+        mu = xf_div(mu_sum, Ktot)
+        zero = XF.zeros((), k=k, dtype=dtype)
+        mu_p = xf_where(pd_feas, zero, xf_mul(mu, beta_inf))
+
+        # ---- per-bundle: R, X^-1, decomposition, residual pieces ----
+        ok = jnp.bool_(True)
+        bundle_ws: List[Dict[str, Any]] = [dict() for _ in range(nB)]
+        Q = XF.zeros((n_y, n_y), k=k, dtype=dtype)
+        p_acc = None
+        for bi, sh in enumerate(shapes):
+            x_b, Xs, Ys = bstates[bi]
+            d_b = data[bi]
+            valid = d_b["valid"]
+            m, K = sh.m, sh.K
+            ws = bundle_ws[bi]
+
+            Rs, Xinvs = [], []
+            for l in range(sh.L):
+                bs = sh.bs(l)
+                eye = XF.eye(bs, k=k, dtype=dtype)
+                Rs.append(vb(
+                    lambda Xj, Yj, eye=eye: xf_add(
+                        xf_mul(eye, mu_p), -xf_matmul(Xj, Yj))
+                )(Xs[l], Ys[l]))
+                inv, oki = jax.vmap(
+                    xf_spd_inverse, in_axes=1, out_axes=(1, 0))(Xs[l])
+                Xinvs.append(vb(xf_sym)(inv))
+                ok = ok & jnp.all(oki)
+            ws["R"] = Rs
+            ws["Xinv"] = Xinvs
+
+            def percl_decomp(valid_j, B_j, *XYVH):
+                Xinv_l = XYVH[:sh.L]
+                Y_l = XYVH[sh.L:2 * sh.L]
+                V_l = XYVH[2 * sh.L:3 * sh.L]
+                H_l = XYVH[3 * sh.L:4 * sh.L]
+                S_j = XF.zeros((sh.dim_S, sh.dim_S), k=k, dtype=dtype)
+                ay = []
+                for l in range(sh.L):
+                    PX = compute_pairings(Xinv_l[l], V_l[l], m)
+                    PY = compute_pairings(Y_l[l], V_l[l], m)
+                    ay.append(pairing_diag(PY, m))
+                    S_j = xf_add(S_j, schur_block_contribution(
+                        PX, PY, H_l[l], m, K, sh.rmaxs[l]))
+                S_j = xf_sym(S_j)
+                # identity for padded clusters (S would be singular)
+                eye = XF.eye(sh.dim_S, k=k, dtype=dtype)
+                S_j = xf_add(S_j, XF(eye.limbs * (1.0 - valid_j)))
+                S_inv, okj = xf_spd_inverse(S_j)
+                S_inv = xf_sym(S_inv)
+                SB = xf_matmul(S_inv, B_j)
+                Qp = xf_matmul(B_j.T, SB)
+                return S_inv, SB, Qp, tuple(ay), okj
+
+            in_ax = (0, 1) + (1,) * (4 * sh.L)
+            S_inv, SB, Qpart, A_Y, ok_s = jax.vmap(
+                percl_decomp, in_axes=in_ax,
+                out_axes=(1, 1, 1, tuple(1 for _ in range(sh.L)), 0),
+            )(valid, d_b["B"], *Xinvs, *Ys, *d_b["V"], *d_b["H"])
+            ok = ok & jnp.all(ok_s)
+            ws["S_inv"], ws["SB"], ws["A_Y"] = S_inv, SB, A_Y
+            Q = xf_add(Q, allsum(Qpart))
+
+            # residuals: P per l (masked), p partial, d
+            Ps = []
+            for l in range(sh.L):
+                P_l = vb(
+                    lambda x_j, V_j, H_j, X_j, l=l: xf_add(
+                        weighted_A_block(
+                            x_j[:, 0], V_j, H_j, m, K, sh.rmaxs[l]),
+                        -X_j,
+                    )
+                )(x_b, d_b["V"][l], d_b["H"][l], Xs[l])
+                Ps.append(XF(P_l.limbs * valid[None, :, None, None]))
+            ws["P"] = Ps
+            pp = allsum(vb(lambda B_j, x_j: xf_matmul(B_j.T, x_j))(d_b["B"], x_b))
+            p_acc = pp if p_acc is None else xf_add(p_acc, pp)
+            trY = None
+            for l in range(sh.L):
+                t = jax.vmap(
+                    lambda ay, H_j, l=l: trace_A_from_diag(
+                        ay, H_j, m, K, sh.rmaxs[l]),
+                    in_axes=1, out_axes=1,
+                )(A_Y[l], d_b["H"][l])
+                trY = t if trY is None else xf_add(trY, t)
+            ws["d"] = xf_add(
+                xf_add(d_b["c"], -XF(trY.limbs[..., None])),
+                -vb(lambda B_j: xf_matmul(B_j, y))(d_b["B"]),
+            )
+
+        p = xf_add(b, -p_acc)
+        Q_inv, ok_q = xf_spd_inverse(xf_sym(Q))
+        ok = ok & ok_q
+
+        # ---- search directions (shared by predictor/corrector) ----
+        def directions(Rs_all):
+            acc = None
+            txs = []
+            for bi, sh in enumerate(shapes):
+                x_b, Xs, Ys = bstates[bi]
+                d_b = data[bi]
+                ws = bundle_ws[bi]
+                m, K = sh.m, sh.K
+
+                def percl_dir(d_j, S_inv_j, *rest):
+                    P_l = rest[:sh.L]
+                    R_l = rest[sh.L:2 * sh.L]
+                    Xinv_l = rest[2 * sh.L:3 * sh.L]
+                    Y_l = rest[3 * sh.L:4 * sh.L]
+                    V_l = rest[4 * sh.L:5 * sh.L]
+                    H_l = rest[5 * sh.L:6 * sh.L]
+                    trZ = None
+                    for l in range(sh.L):
+                        Z = xf_sym(xf_matmul(
+                            Xinv_l[l],
+                            xf_add(xf_matmul(P_l[l], Y_l[l]), -R_l[l])))
+                        t = trace_A_generic(
+                            Z, V_l[l], H_l[l], m, K, sh.rmaxs[l])
+                        trZ = t if trZ is None else xf_add(trZ, t)
+                    rhs_x_j = xf_add(-d_j, -XF(trZ.limbs[..., None]))
+                    tx = xf_matmul(S_inv_j, rhs_x_j)
+                    return tx
+
+                tx = jax.vmap(
+                    percl_dir, in_axes=(1,) * (2 + 6 * sh.L), out_axes=1
+                )(ws["d"], ws["S_inv"], *ws["P"], *Rs_all[bi], *ws["Xinv"],
+                  *Ys, *d_b["V"], *d_b["H"])
+                txs.append(tx)
+                a = allsum(vb(lambda B_j, t_j: xf_matmul(B_j.T, t_j))(
+                    d_b["B"], tx))
+                acc = a if acc is None else xf_add(acc, a)
+            dy = xf_matmul(Q_inv, xf_add(p, -acc))
+
+            outs = []
+            for bi, sh in enumerate(shapes):
+                x_b, Xs, Ys = bstates[bi]
+                d_b = data[bi]
+                ws = bundle_ws[bi]
+                m, K = sh.m, sh.K
+                dx = vb(lambda t_j, SB_j: xf_add(
+                    t_j, xf_matmul(SB_j, dy)))(txs[bi], ws["SB"])
+                dXs, dYs = [], []
+                for l in range(sh.L):
+                    dX_l = vb(
+                        lambda dx_j, V_j, H_j, P_j, l=l: xf_add(
+                            weighted_A_block(
+                                dx_j[:, 0], V_j, H_j, m, K, sh.rmaxs[l]),
+                            P_j,
+                        )
+                    )(dx, d_b["V"][l], d_b["H"][l], ws["P"][l])
+                    dY_l = vb(
+                        lambda R_j, dX_j, Y_j, Xi_j: xf_sym(
+                            xf_matmul(Xi_j, xf_add(
+                                R_j, -xf_matmul(dX_j, Y_j))))
+                    )(Rs_all[bi][l], dX_l, Ys[l], ws["Xinv"][l])
+                    dXs.append(dX_l)
+                    dYs.append(dY_l)
+                outs.append((dx, tuple(dXs), tuple(dYs)))
+            return outs, dy
+
+        R_all = [ws["R"] for ws in bundle_ws]
+        d_dirs, dy = directions(R_all)
+
+        # ---- corrector (MPMP.jl:832-858) ----
+        r_parts = []
+        for bi, sh in enumerate(shapes):
+            x_b, Xs, Ys = bstates[bi]
+            dx, dXs, dYs = d_dirs[bi]
+            valid = data[bi]["valid"]
+            percl = None
+            for l in range(sh.L):
+                d = jax.vmap(
+                    lambda Xj, dXj, Yj, dYj: xf_sum(
+                        xf_mul(xf_add(Xj, dXj), xf_add(Yj, dYj)
+                               ).reshape((-1,)), axis=0),
+                    in_axes=1, out_axes=1,
+                )(Xs[l], dXs[l], Ys[l], dYs[l])
+                percl = d if percl is None else xf_add(percl, d)
+            percl = XF(percl.limbs * valid[None, :])
+            r_parts.append(allsum(percl))
+        r_sum = r_parts[0]
+        for t in r_parts[1:]:
+            r_sum = xf_add(r_sum, t)
+        r = xf_div(r_sum, xf_mul(mu, Ktot))
+        one = XF.ones((), k=k, dtype=dtype)
+        beta = xf_where(r < one, xf_mul(r, r), r)
+        bF = XF.from_float(cfg.beta_feasible, k=k, dtype=dtype)
+        bI = XF.from_float(beta_inf, k=k, dtype=dtype)
+        beta_c = xf_where(
+            pd_feas,
+            xf_where(beta < bF, bF, xf_where(beta < one, beta, one)),
+            xf_where(beta < bI, bI, beta),
+        )
+        mu_c = xf_mul(beta_c, mu)
+
+        R2_all = []
+        for bi, sh in enumerate(shapes):
+            x_b, Xs, Ys = bstates[bi]
+            dx, dXs, dYs = d_dirs[bi]
+            R2 = []
+            for l in range(sh.L):
+                bs = sh.bs(l)
+                eye = XF.eye(bs, k=k, dtype=dtype)
+                R2.append(vb(
+                    lambda Xj, Yj, dXj, dYj, eye=eye: xf_add(
+                        xf_add(xf_mul(eye, mu_c), -xf_matmul(Xj, Yj)),
+                        -xf_matmul(dXj, dYj))
+                )(Xs[l], Ys[l], dXs[l], dYs[l]))
+            R2_all.append(R2)
+        d_dirs, dy = directions(R2_all)
+
+        # ---- step lengths (MPMP.jl:1829-1898): local min eig, pmin ----
+        lam_p = jnp.inf
+        lam_d = jnp.inf
+        for bi, sh in enumerate(shapes):
+            x_b, Xs, Ys = bstates[bi]
+            dx, dXs, dYs = d_dirs[bi]
+            valid = data[bi]["valid"]
+            for l in range(sh.L):
+                lp, okp = jax.vmap(
+                    xf_min_eig_sym, in_axes=(1, 1), out_axes=(0, 0)
+                )(Xs[l], dXs[l])
+                ld, okd = jax.vmap(
+                    xf_min_eig_sym, in_axes=(1, 1), out_axes=(0, 0)
+                )(Ys[l], dYs[l])
+                ok = ok & jnp.all(okp | (valid == 0)) & jnp.all(
+                    okd | (valid == 0))
+                lam_p = jnp.minimum(
+                    lam_p, jnp.min(jnp.where(valid > 0, lp, jnp.inf)))
+                lam_d = jnp.minimum(
+                    lam_d, jnp.min(jnp.where(valid > 0, ld, jnp.inf)))
+        lp = jax.lax.pmin(lam_p, "cluster")
+        ld = jax.lax.pmin(lam_d, "cluster")
+
+        def alpha_of(lam):
+            return jnp.minimum(
+                jnp.where(lam > -gamma, 1.0,
+                          -gamma / jnp.minimum(lam, -1e-300)), 1.0)
+
+        alpha_p = alpha_of(lp)
+        alpha_d = alpha_of(ld)
+        both = jnp.minimum(alpha_p, alpha_d)
+        alpha_p = jnp.where(pd_feas, both, alpha_p)
+        alpha_d = jnp.where(pd_feas, both, alpha_d)
+        ap = XF.from_float(alpha_p.astype(dtype), k=k)
+        ad = XF.from_float(alpha_d.astype(dtype), k=k)
+
+        # ---- update + diagnostics ----
+        new_bstates = []
+        pobj_parts = []
+        for bi, sh in enumerate(shapes):
+            x_b, Xs, Ys = bstates[bi]
+            dx, dXs, dYs = d_dirs[bi]
+            valid = data[bi]["valid"]
+            x_new = xf_add(x_b, xf_mul(dx, ap))
+            Xn = tuple(xf_add(Xs[l], xf_mul(dXs[l], ap)) for l in range(sh.L))
+            Yn = tuple(xf_add(Ys[l], xf_mul(dYs[l], ad)) for l in range(sh.L))
+            new_bstates.append((x_new, Xn, Yn))
+            pc = jax.vmap(
+                lambda cj, xj: xf_sum(xf_mul(cj, xj).reshape((-1,)), axis=0),
+                in_axes=1, out_axes=1,
+            )(data[bi]["c"], x_new)
+            pobj_parts.append(allsum(XF(pc.limbs * valid[None, :])))
+        y_new = xf_add(y, xf_mul(dy, ad))
+        p_obj = pobj_parts[0]
+        for t in pobj_parts[1:]:
+            p_obj = xf_add(p_obj, t)
+        d_obj = xf_sum(xf_mul(b, y_new).reshape((-1,)), axis=0)
+        if b0 is not None:
+            p_obj = xf_add(p_obj, b0)
+            d_obj = xf_add(d_obj, b0)
+        ok_all = jax.lax.psum((~ok).astype(jnp.int32), "cluster") == 0
+
+        # feasibility errors (MPMP.jl:1037-1062): max-abs over residuals.
+        # P is masked to zero on padded clusters; d is exactly zero there
+        # (B = c = 0); p is replicated.  hi-limb magnitudes suffice.
+        P_err = jnp.asarray(0.0, dtype)
+        d_err = jnp.asarray(0.0, dtype)
+        for bi, sh in enumerate(shapes):
+            for l in range(sh.L):
+                P_err = jnp.maximum(
+                    P_err, jnp.max(jnp.abs(bundle_ws[bi]["P"][l].limbs[0])))
+            d_err = jnp.maximum(
+                d_err, jnp.max(jnp.abs(bundle_ws[bi]["d"].limbs[0])))
+        P_err = jax.lax.pmax(P_err, "cluster")
+        d_err = jax.lax.pmax(d_err, "cluster")
+        p_err = jnp.max(jnp.abs(p.limbs[0]))
+        gap_num = jnp.abs(p_obj.limbs[0] - d_obj.limbs[0])
+        gap_den = jnp.maximum(1.0, jnp.abs(p_obj.limbs[0] + d_obj.limbs[0]))
+        diag = dict(
+            mu=mu.to_float64(),
+            p_obj=p_obj.to_float64(),
+            d_obj=d_obj.to_float64(),
+            gap=gap_num / gap_den,
+            P_err=P_err,
+            p_err=p_err,
+            d_err=d_err,
+            alpha_p=alpha_p,
+            alpha_d=alpha_d,
+            ok=ok_all,
+        )
+        return (tuple(new_bstates), y_new), diag
+
+    # ---- sharding specs ----
+    clus = P(None, "cluster")
+    rep = P()
+    data_specs = tuple(
+        dict(
+            V=tuple(clus for _ in sh.deltas),
+            H=tuple(clus for _ in sh.deltas),
+            B=clus, c=clus, valid=P("cluster"),
+        )
+        for sh in shapes
+    )
+    bstate_specs = tuple(
+        (clus, tuple(clus for _ in sh.deltas), tuple(clus for _ in sh.deltas))
+        for sh in shapes
+    )
+    state_spec = (bstate_specs, rep)
+    diag_spec = dict(mu=rep, p_obj=rep, d_obj=rep, gap=rep, P_err=rep,
+                     p_err=rep, d_err=rep, alpha_p=rep, alpha_d=rep, ok=rep)
+    sharded = shard_map(
+        step_spmd,
+        mesh=mesh,
+        in_specs=(data_specs, state_spec, rep),
+        out_specs=(state_spec, diag_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def solve_hetero_sharded(
+    problem: SDPProblem,
+    mesh: Mesh,
+    maxiterations: int = 200,
+    cfg=None,
+    verbose: bool = False,
+):
+    """Convenience driver: bundle a packed problem, run the sharded step to
+    convergence by duality gap (host-checked each iteration), return
+    (y, p_obj, d_obj, mu, iterations)."""
+    from clrs_tpu.core.solver import SolverConfig
+
+    cfg = cfg or SolverConfig()
+    n_dev = mesh.devices.size
+    shapes, data, owners = bundles_from_problem(problem, n_dev)
+    k = problem.b.k
+    dtype = problem.b.dtype
+    bstates, y = initial_bundle_state(
+        shapes, cfg.omega_p, cfg.omega_d, k, dtype, problem.info.n_y)
+    step = make_hetero_step(shapes, mesh, problem.b, cfg, b0=problem.b0)
+    state = (bstates, y)
+    pd_feas = False
+    it = 0
+    gap = np.inf
+    best = (np.inf, state, None)  # (merit, state, diag) — stall guard:
+    # at k limbs the reference's 1e-30 feasibility contract may be beyond
+    # the precision floor, so keep the best iterate like the core solver
+    stall = 0
+    for it in range(1, maxiterations + 1):
+        state, diag = step(tuple(data), state, jnp.bool_(pd_feas))
+        po = float(np.asarray(diag["p_obj"]))
+        do = float(np.asarray(diag["d_obj"]))
+        gap = float(np.asarray(diag["gap"]))
+        primal_err = max(float(np.asarray(diag["P_err"])),
+                         float(np.asarray(diag["p_err"])))
+        dual_err = float(np.asarray(diag["d_err"]))
+        # feasibility-locked steps once both residuals vanish
+        # (the reference's terminate/pd_feas logic, MPMP.jl:1147-1173)
+        pd_feas = (primal_err < cfg.primal_error_threshold
+                   and dual_err < cfg.dual_error_threshold)
+        merit = max(gap, primal_err, dual_err)
+        if not np.isfinite(merit):
+            merit = np.inf
+        if merit < best[0]:
+            best = (merit, state, diag)
+            stall = 0
+        else:
+            stall += 1
+        if verbose:
+            print(f"iter {it}: mu={float(np.asarray(diag['mu'])):.3e} "
+                  f"p={po:.12f} d={do:.12f} gap={gap:.2e} "
+                  f"Perr={primal_err:.1e} derr={dual_err:.1e}")
+        if pd_feas and gap < cfg.duality_gap_threshold:
+            break
+        if stall >= cfg.stall_patience or not bool(np.asarray(diag["ok"])):
+            state, diag = best[1], best[2]
+            gap = float(np.asarray(diag["gap"]))
+            break
+    return state, dict(gap=gap, iterations=it, diag=diag)

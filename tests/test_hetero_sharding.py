@@ -1,0 +1,122 @@
+"""Heterogeneous cluster-sharded step (parallel/hetero.py): real problems
+with mixed cluster shapes, sharded over a virtual device mesh.
+
+SURVEY.md §4's multi-host test contract: shard the same problem over 1 vs N
+devices and assert identical iterates; and the sharded step must agree with
+the general (unsharded) solver phases on the same packed problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clrs_tpu  # noqa: F401  (flags)
+from clrs_tpu.parallel.hetero import (
+    bundles_from_problem,
+    initial_bundle_state,
+    make_cluster_mesh,
+    make_hetero_step,
+)
+
+
+@pytest.fixture(scope="module")
+def delsarte_problem():
+    """Delsarte dim-8 2d=6 (the 240-sharp kissing config): 1 polynomial
+    cluster + 6 sign clusters — two distinct shape signatures, so the
+    bundling (incl. divisibility padding on 8 devices) is genuinely
+    exercised.  (2d=4 is NOT used: that LP is unbounded and the IPM
+    correctly diverges on it.)"""
+    import bench
+
+    problem, info = bench.build_problem(d=3, dtype=np.float64, k=2)
+    return problem
+
+
+def run_steps(problem, n_devices, n_steps=3):
+    import clrs_tpu.core.solver as S
+
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+    mesh = make_cluster_mesh(n_devices)
+    shapes, data, owners = bundles_from_problem(problem, n_devices)
+    bstates, y = initial_bundle_state(
+        shapes, cfg.omega_p, cfg.omega_d, problem.b.k, problem.b.dtype,
+        problem.info.n_y)
+    step = make_hetero_step(shapes, mesh, problem.b, cfg, b0=problem.b0)
+    state = (bstates, y)
+    diag = None
+    for _ in range(n_steps):
+        state, diag = step(tuple(data), state, jnp.bool_(False))
+    return state, diag
+
+
+def test_hetero_one_vs_many_devices(delsarte_problem):
+    """dd-ulp-identical iterates between 1-device and 8-device runs.
+
+    Padding differs with the device count (bundle cluster counts round up
+    to the mesh size), and XLA:CPU emits batch-width-dependent codegen, so
+    agreement is to the double-double ulp rather than bitwise; all padded
+    contributions are exact zeros by construction.
+    """
+    p = delsarte_problem
+    s1, d1 = run_steps(p, 1)
+    s8, d8 = run_steps(p, min(8, len(jax.devices())))
+    y1 = np.asarray(s1[1].limbs).sum(axis=0)  # hi+lo
+    y8 = np.asarray(s8[1].limbs).sum(axis=0)
+    scale = np.max(np.abs(y1))
+    np.testing.assert_allclose(y1, y8, rtol=0, atol=1e-28 * scale)
+    for key in ("mu", "p_obj", "d_obj", "alpha_p", "alpha_d"):
+        np.testing.assert_allclose(
+            np.asarray(d1[key]), np.asarray(d8[key]), rtol=1e-12, atol=1e-20)
+    assert bool(np.asarray(d1["ok"])) and bool(np.asarray(d8["ok"]))
+
+
+def test_hetero_matches_general_solver(delsarte_problem):
+    """One hetero-sharded step == one step of the unsharded solver phases
+    on the same packed problem."""
+    import clrs_tpu.core.solver as S
+
+    p = delsarte_problem
+    s1, d1 = run_steps(p, 1, n_steps=1)
+
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+    phases = S.make_ipm_phases(p, cfg)
+    st = S.initial_state(p, cfg)
+    pd = jnp.bool_(False)
+    mu, R, X_inv, ok = phases["mu_R_Xinv"](p, st, pd)
+    decomp = phases["decomp"](p, X_inv, st[3])
+    Pr, pr, dr = phases["residuals"](p, st[0], st[2], st[1], decomp["A_Y"])
+    dxg, dXg, dyg, dYg = phases["direction"](p, Pr, pr, dr, R, X_inv, st[3], decomp)
+    beta_c, R2 = phases["corrector_R"](st[2], st[3], dXg, dYg, mu, pd)
+    dxg, dXg, dyg, dYg = phases["direction"](p, Pr, pr, dr, R2, X_inv, st[3], decomp)
+    ap, _ = phases["steplength"](st[2], dXg)
+    ad, _ = phases["steplength"](st[3], dYg)
+    st2, diag = phases["update"](
+        p, st, dxg, dyg, dXg, dYg, ap, ad, pd, Pr, pr, dr, mu, beta_c)
+
+    y_sharded = np.asarray(s1[1].limbs[0]).ravel()
+    y_general = np.asarray(st2[1].limbs[0]).ravel()
+    np.testing.assert_allclose(y_sharded, y_general, rtol=1e-18, atol=1e-22)
+    mu_s = float(np.asarray(d1["mu"]))
+    mu_g = float(np.asarray(diag["mu"]))
+    assert abs(mu_s - mu_g) < 1e-10 * max(1.0, abs(mu_g))
+
+
+def test_hetero_converges(delsarte_problem):
+    """The sharded driver (with feasibility-locked steps) converges and
+    matches the unsharded solve's objective."""
+    import clrs_tpu.core.solver as S
+    from clrs_tpu.parallel.hetero import solve_hetero_sharded
+
+    p = delsarte_problem
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False,
+                         duality_gap_threshold=1e-12)
+    mesh = make_cluster_mesh(min(8, len(jax.devices())))
+    state, out = solve_hetero_sharded(p, mesh, maxiterations=150, cfg=cfg)
+    assert out["gap"] < 1e-9, out
+    po = float(np.asarray(out["diag"]["p_obj"]))
+
+    res = S.solverank1sdp(
+        problem=p, omega_p=100.0, omega_d=100.0, maxiterations=150,
+        verbose=False)
+    assert abs(po - res.primal_objective) < 1e-6 * max(1.0, abs(po))
