@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def build_problem(d: int, dtype, k: int = 2):
+def build_problem(d: int, dtype, k: int = 2, info_transform=None):
     import mpmath
 
     from clrs_tpu.apps.delsarte import delsarte_lp_bound  # noqa: F401
@@ -60,6 +60,8 @@ def build_problem(d: int, dtype, k: int = 2):
         cons.append(prepareabc(Mj, [one], [one], [mpmath.mpf(0)], 0))
     b = [-1.0] * deg
     info = get_block_info(cons)
+    if info_transform is not None:
+        info = info_transform(info)
     problem = pack_constraints(cons, b, info=info, k=k, dtype=dtype)
     return problem, info
 

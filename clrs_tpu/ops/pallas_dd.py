@@ -327,3 +327,176 @@ def xf_spd_inverse_pallas_batched(x_limbs: jnp.ndarray, interpret: bool = False)
         jnp.swapaxes(x_limbs, 0, 1), interpret=interpret
     )
     return jnp.swapaxes(inv, 0, 1), ok
+
+
+# ---------------------------------------------------------------------------
+# Batch-wide variant: ALL blocks in one grid step, batch on the LANE axis
+# ---------------------------------------------------------------------------
+
+
+def _spd_inverse_wide_kernel(a_ref, out_ref, okf_ref, lh_ref, ll_ref,
+                             wh_ref, wl_ref, *, n: int, ops: _Ops):
+    """All blocks of one batch chunk simultaneously, layout (n, n, B):
+    the batch rides the 128-lane axis, so the column recurrences of the
+    factorization vectorize across blocks on the VPU instead of
+    serializing one (n, n) tile per grid step (the per-block kernel
+    above wastes ~all lanes for the reference's small blocks, n<=64).
+    Same dd sequences, same one-hot/mask lowering rules."""
+    dd = ops
+    dtype = a_ref.dtype
+    B = a_ref.shape[-1]
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    lh_ref[:] = jnp.zeros((n, n, B), dtype)
+    ll_ref[:] = jnp.zeros((n, n, B), dtype)
+    okf_ref[:] = jnp.ones((n, B), dtype)
+
+    Ah = a_ref[0, :, :, :]
+    Al = a_ref[1, :, :, :]
+
+    def chol_col(j, _):
+        Lh = lh_ref[:]
+        Ll = ll_ref[:]
+        rowsel = jnp.where(rows2 == j, one, zero)      # (n, n, 1)
+        colsel = jnp.where(cols2 == j, one, zero)
+        rowjh = jnp.sum(Lh * rowsel, axis=0)           # L[j, :, :] (n, B)
+        rowjl = jnp.sum(Ll * rowsel, axis=0)
+        Ajh = jnp.sum(Ah * colsel, axis=1)             # A[:, j, :] (n, B)
+        Ajl = jnp.sum(Al * colsel, axis=1)
+        ph, plo = dd.mul(Lh, Ll, rowjh[None, :, :], rowjl[None, :, :])
+        acc_h, acc_l = dd.sum_axis(ph, plo, axis=1)    # (n, B)
+        sh, sl = dd.add(Ajh, Ajl, -acc_h, -acc_l)
+        onej = jnp.where(rows1 == j, one, zero)        # (n, 1)
+        # pivot s[j] per block: exact (single nonzero summand per lane)
+        djj_h = jnp.sum(sh * onej, axis=0, keepdims=True)   # (1, B)
+        djj_l = jnp.sum(sl * onej, axis=0, keepdims=True)
+        flag = jnp.where(djj_h > 0, one, zero)         # (1, B)
+        okf_ref[:] = jnp.where(rows1 == j, flag, okf_ref[:])
+        safe_h = jnp.where(djj_h > 0, djj_h, one)
+        safe_l = jnp.where(djj_h > 0, djj_l, zero)
+        ljj_h, ljj_l = dd.sqrt(safe_h, safe_l)         # (1, B)
+        ch, cl = dd.div(sh, sl, jnp.broadcast_to(ljj_h, sh.shape),
+                        jnp.broadcast_to(ljj_l, sl.shape))
+        below = rows1 > j                              # (n, 1)
+        at = rows1 == j
+        ch = jnp.where(at, ljj_h, jnp.where(below, ch, zero))
+        cl = jnp.where(at, ljj_l, jnp.where(below, cl, zero))
+        lh_ref[:] = jnp.where(cols2 == j, ch[:, None, :], Lh)
+        ll_ref[:] = jnp.where(cols2 == j, cl[:, None, :], Ll)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_col, jnp.int32(0),
+                      unroll=False)
+
+    wh_ref[:] = jnp.zeros((n, n, B), dtype)
+    wl_ref[:] = jnp.zeros((n, n, B), dtype)
+
+    def solve_row(i, _):
+        Lh = lh_ref[:]
+        Ll = ll_ref[:]
+        Wh = wh_ref[:]
+        Wl = wl_ref[:]
+        rowsel = jnp.where(rows2 == i, one, zero)
+        rowlh = jnp.sum(Lh * rowsel, axis=0)           # L[i, :, :] (n, B)
+        rowll = jnp.sum(Ll * rowsel, axis=0)
+        ph, plo = dd.mul(rowlh[:, None, :], rowll[:, None, :], Wh, Wl)
+        acc_h, acc_l = dd.sum_axis(ph, plo, axis=0)    # (n, B)
+        onei = jnp.where(rows1 == i, one, zero)        # (n, 1)
+        ei = jnp.broadcast_to(onei, (n, B))
+        nh, nl = dd.add(ei, jnp.zeros_like(ei), -acc_h, -acc_l)
+        dh = jnp.sum(rowlh * onei, axis=0, keepdims=True)   # (1, B)
+        dl = jnp.sum(rowll * onei, axis=0, keepdims=True)
+        qh, ql = dd.div(nh, nl, jnp.broadcast_to(dh, nh.shape),
+                        jnp.broadcast_to(dl, nl.shape))
+        wh_ref[:] = jnp.where(rows2 == i, qh[None, :, :], Wh)
+        wl_ref[:] = jnp.where(rows2 == i, ql[None, :, :], Wl)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_row, jnp.int32(0),
+                      unroll=False)
+
+    # inv = W^T W; single stacked carry (see wtw_body note above)
+    def wtw_body(t, acc):
+        rowsel = jnp.where(rows2 == t, one, zero)
+        rh = jnp.sum(wh_ref[:] * rowsel, axis=0)       # (n, B)
+        rl = jnp.sum(wl_ref[:] * rowsel, axis=0)
+        ph, plo = dd.mul(rh[:, None, :], rl[:, None, :],
+                         rh[None, :, :], rl[None, :, :])
+        oh, ol = dd.add(acc[0], acc[1], ph, plo)
+        return jnp.stack([oh, ol])
+
+    inv = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n), wtw_body, jnp.zeros((2, n, n, B), dtype),
+        unroll=False,
+    )
+    out_ref[0, :, :, :] = inv[0]
+    out_ref[1, :, :, :] = inv[1]
+
+
+def dd_spd_inverse_pallas_wide(
+    limbs: jnp.ndarray, interpret: bool = False, max_chunk_elems: int = 1 << 20
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched dd SPD inverse, batch-on-lanes layout: limbs (B, 2, n, n)
+    -> (inv (B, 2, n, n), ok (B,) bool).
+
+    The batch is moved to the last (lane) axis and processed in chunks
+    sized to fit VMEM (~10 arrays of n*n*Bc floats).  Blocks within a
+    chunk factor in lockstep across the lanes."""
+    B, two, n, _ = limbs.shape
+    assert two == 2
+    dtype = limbs.dtype
+    ops = _Ops(barrier=interpret)
+
+    # chunk the batch so scratch+io stay well under VMEM
+    Bc = max(1, min(B, max_chunk_elems // max(n * n, 1)))
+    nchunks = -(-B // Bc)
+    Bpad = nchunks * Bc
+    x = jnp.transpose(limbs, (1, 2, 3, 0))  # (2, n, n, B)
+    if Bpad != B:
+        # pad with identity blocks (valid Cholesky; flags sliced off)
+        eye = jnp.broadcast_to(
+            jnp.eye(n, dtype=dtype)[None, :, :, None], (1, n, n, Bpad - B)
+        )
+        pad = jnp.concatenate([eye, jnp.zeros_like(eye)], axis=0)
+        x = jnp.concatenate([x, pad], axis=-1)
+
+    kernel = functools.partial(_spd_inverse_wide_kernel, n=n, ops=ops)
+    inv, okf = pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((2, n, n, Bc), lambda c: (_i0, _i0, _i0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, n, n, Bc), lambda c: (_i0, _i0, _i0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, Bc), lambda c: (_i0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, n, n, Bpad), dtype),
+            jax.ShapeDtypeStruct((n, Bpad), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, Bc), dtype),  # L hi
+            pltpu.VMEM((n, n, Bc), dtype),  # L lo
+            pltpu.VMEM((n, n, Bc), dtype),  # W hi
+            pltpu.VMEM((n, n, Bc), dtype),  # W lo
+        ],
+        interpret=interpret,
+    )(x)
+    inv = jnp.transpose(inv[..., :B], (3, 0, 1, 2))
+    return inv, jnp.all(okf[:, :B] > 0.5, axis=0)
+
+
+def xf_spd_inverse_pallas_wide(x_limbs: jnp.ndarray, interpret: bool = False):
+    """Adapter for the solver's stacked-XF layout: limbs (2, B, n, n)."""
+    inv, ok = dd_spd_inverse_pallas_wide(
+        jnp.swapaxes(x_limbs, 0, 1), interpret=interpret
+    )
+    return jnp.swapaxes(inv, 0, 1), ok

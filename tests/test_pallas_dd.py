@@ -79,6 +79,44 @@ def test_pallas_spd_inverse_f32_limbs():
         assert np.max(np.abs(got - want)) < 1e-11 * scale
 
 
+@pytest.mark.parametrize("n", [1, 3, 8, 17])
+def test_pallas_wide_spd_inverse_matches_xla(n):
+    """Batch-on-lanes variant (one grid step for the whole batch)."""
+    from clrs_tpu.ops.pallas_dd import dd_spd_inverse_pallas_wide
+
+    rng = np.random.default_rng(0)
+    B = 5
+    limbs = make_spd_batch(rng, B, n)
+    inv_p, ok = dd_spd_inverse_pallas_wide(jnp.asarray(limbs), interpret=True)
+    assert bool(jnp.all(ok))
+    for b in range(B):
+        x = XF(jnp.asarray(limbs[b]))
+        inv_x, okx = xf_spd_inverse(x)
+        assert bool(okx)
+        got = np.asarray(inv_p[b, 0], np.float64) + np.asarray(inv_p[b, 1], np.float64)
+        want = np.asarray(inv_x.to_float64())
+        scale = np.max(np.abs(want))
+        assert np.max(np.abs(got - want)) < 1e-25 * scale, (n, b)
+
+
+def test_pallas_wide_chunking_and_padding():
+    """Chunked grid (max_chunk_elems forces 2 chunks + identity padding)
+    agrees with the single-chunk result; flags survive per block."""
+    from clrs_tpu.ops.pallas_dd import dd_spd_inverse_pallas_wide
+
+    rng = np.random.default_rng(4)
+    n, B = 6, 5
+    limbs = make_spd_batch(rng, B, n)
+    limbs[3, 0] = -limbs[3, 0]  # negative definite slot
+    inv1, ok1 = dd_spd_inverse_pallas_wide(jnp.asarray(limbs), interpret=True)
+    inv2, ok2 = dd_spd_inverse_pallas_wide(
+        jnp.asarray(limbs), interpret=True, max_chunk_elems=3 * n * n)
+    ok1, ok2 = np.asarray(ok1), np.asarray(ok2)
+    assert list(ok1) == [True, True, True, False, True]
+    assert list(ok1) == list(ok2)
+    np.testing.assert_array_equal(np.asarray(inv1), np.asarray(inv2))
+
+
 def test_solver_with_pallas_inverse_matches_default():
     """End-to-end IPM with use_pallas_inverse=True (interpret mode on CPU):
     the fused Pallas SPD-inverse (SolverConfig.use_pallas_inverse) reproduces
