@@ -1,0 +1,95 @@
+"""Intra-cluster (single-huge-cluster) GSPMD sharding (parallel/intra.py).
+
+SURVEY.md §5.7: for one large cluster, shard the pairing/assembly work
+over chips.  Contracts tested here:
+  - rank padding (pad_info_ranks) is an exact no-op on the iterates;
+  - 1-device vs 8-device sharded runs agree to the dd ulp (GSPMD may
+    only move data: all XF reductions are explicit EFT trees);
+  - the sharded driver converges to the unsharded solver's objective.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clrs_tpu  # noqa: F401  (flags)
+import clrs_tpu.core.solver as S
+from clrs_tpu.parallel.intra import (
+    make_chip_mesh,
+    pad_info_ranks,
+    shard_problem,
+    shard_state,
+    solve_intra_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def problems():
+    """Delsarte dim-8 2d=6 packed twice: as-is, and with ranks padded so
+    every T = K*rmax divides an 8-chip mesh."""
+    import bench
+
+    base, _ = bench.build_problem(d=3, dtype=np.float64, k=2)
+    padded, _ = bench.build_problem(
+        d=3, dtype=np.float64, k=2,
+        info_transform=lambda info: pad_info_ranks(info, 8))
+    return base, padded
+
+
+def run_fused(problem, mesh=None, n_steps=3):
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+    step = S.make_fused_step(problem, cfg)
+    state = S.initial_state(problem, cfg)
+    if mesh is not None:
+        problem = shard_problem(problem, mesh)
+        state = shard_state(state, mesh)
+    diag = None
+    for _ in range(n_steps):
+        state, diag = step(problem, state, jnp.bool_(False))
+    return state, diag
+
+
+def test_rank_padding_is_exact(problems):
+    base, padded = problems
+    info_p = padded.info
+    n = info_p.n_samples[0] * info_p.rmax[0][0]
+    assert n % 8 == 0, "padding must make T divisible"
+    _, d_base = run_fused(base)
+    _, d_pad = run_fused(padded)
+    for key in ("mu", "p_obj", "d_obj", "alpha_p", "alpha_d"):
+        np.testing.assert_allclose(
+            np.asarray(d_base[key]), np.asarray(d_pad[key]),
+            rtol=1e-28, atol=1e-300,
+            err_msg=f"rank padding changed {key}")
+
+
+def test_intra_one_vs_many_devices(problems):
+    _, padded = problems
+    s1, d1 = run_fused(padded, mesh=make_chip_mesh(1))
+    nd = min(8, len(jax.devices()))
+    s8, d8 = run_fused(padded, mesh=make_chip_mesh(nd))
+    y1 = np.asarray(s1[1].limbs).sum(axis=0)
+    y8 = np.asarray(s8[1].limbs).sum(axis=0)
+    scale = max(np.max(np.abs(y1)), 1e-300)
+    np.testing.assert_allclose(y1, y8, rtol=0, atol=1e-28 * scale)
+    for key in ("mu", "p_obj", "d_obj", "alpha_p", "alpha_d"):
+        np.testing.assert_allclose(
+            np.asarray(d1[key]), np.asarray(d8[key]), rtol=1e-12, atol=1e-20)
+    assert bool(np.asarray(d1["ok"])) and bool(np.asarray(d8["ok"]))
+
+
+def test_intra_converges(problems):
+    _, padded = problems
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False,
+                         duality_gap_threshold=1e-12)
+    nd = min(8, len(jax.devices()))
+    state, out = solve_intra_sharded(
+        padded, make_chip_mesh(nd), maxiterations=150, cfg=cfg)
+    assert out["gap"] < 1e-9, out
+    po = float(np.asarray(out["diag"]["p_obj"]))
+
+    res = S.solverank1sdp(
+        problem=padded, omega_p=100.0, omega_d=100.0, maxiterations=150,
+        verbose=False)
+    assert abs(po - res.primal_objective) < 1e-6 * max(1.0, abs(po))
