@@ -6,8 +6,11 @@ error (eps*cond)^q so extra rounds buy accuracy without more limbs.
 Usage: python scripts/run_sp16_refine.py [k] [refine_steps] [maxiter]
 Writes one log line per iteration; prints a summary at the end.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 refine = int(sys.argv[2]) if len(sys.argv) > 2 else 2
