@@ -161,17 +161,27 @@ def _vec_sum_err_branch(terms, k: int):
     return out
 
 
-def _renorm(terms, k: int, passes: int = 2):
+def _renorm(terms, k: int, passes: int = 2, sort: bool = False):
     """Exact-sum compression of arbitrary terms into k limbs.
 
     VecSum passes handle unordered inputs (each pass is exact); the branch
-    pass then extracts nonoverlapping limbs.  Two passes for fully
-    unordered inputs; one pass suffices when terms are roughly
-    magnitude-ordered (as in the structured products of xf_mul).
+    pass then extracts nonoverlapping limbs.  Two passes suffice when
+    terms are roughly magnitude-ordered (as in the structured products of
+    xf_mul); for ARBITRARY inputs a displaced element migrates only one
+    position per pass, so e.g. `x + tiny` at k>=5 (Newton refinement
+    steps: tiny's limbs interleave below x's last limbs) silently loses
+    the last limb with any fixed pass count.  sort=True first orders the
+    terms by magnitude (an exact permutation, elementwise argsort), after
+    which the VecSum passes are provably sufficient.
     """
     terms = [t for t in terms]
     if len(terms) == 1:
         return terms + [jnp.zeros_like(terms[0])] * (k - 1)
+    if sort:
+        stacked = jnp.stack(terms, axis=0)
+        order = jnp.argsort(-jnp.abs(stacked), axis=0)
+        stacked = jnp.take_along_axis(stacked, order, axis=0)
+        terms = [stacked[i] for i in range(stacked.shape[0])]
     for _ in range(passes):
         terms = _vec_sum(terms)
     out = _vec_sum_err_branch(terms, k)
@@ -402,7 +412,7 @@ def xf_add(a: XF, b: XF) -> XF:
             terms.append(al[i])
         if i < b.k:
             terms.append(bl[i])
-    return XF.from_limb_list(_renorm(terms, k))
+    return XF.from_limb_list(_renorm(terms, k, sort=True))
 
 
 def _dd_add(al, bl) -> XF:
@@ -531,7 +541,7 @@ def xf_mul(a: XF, b: XF) -> XF:
                 cheap = t if cheap is None else cheap + t
     if cheap is not None:
         terms.append(cheap)
-    return XF.from_limb_list(_renorm(terms, k, passes=2))
+    return XF.from_limb_list(_renorm(terms, k, passes=2, sort=True))
 
 
 def _dd_mul(al, bl) -> XF:

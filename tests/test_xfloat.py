@@ -231,3 +231,33 @@ def test_fast_path_canonical_leading_limb_after_cancellation():
         lead = float(np.asarray(s.limbs)[0, 0])
         assert lead != 0.0, (k, np.asarray(s.limbs)[:, 0])
         assert abs(lead - 2.0**low) < 1e-3 * 2.0**low
+
+
+def test_generic_renorm_k5_newton_refinement_precision():
+    """Regression: the generic (k>=5) add/mul renormalization must not
+    lose the last limbs when a tiny correction's limbs interleave below a
+    large value's (the Newton-refinement profile: x + x*(1-b*x)).  With a
+    fixed VecSum pass count a displaced term migrates only one position
+    per pass and k=5 division plateaued at ~1e-66; magnitude-sorting the
+    terms first (exact permutation) restores full precision (~1e-80)."""
+    import mpmath
+
+    old = mpmath.mp.prec
+    mpmath.mp.prec = 700
+    try:
+        rng = np.random.default_rng(0)
+        vals = [
+            mpmath.mpf(rng.standard_normal()) * mpmath.mpf(10) ** int(e)
+            for e in rng.integers(-8, 8, 8)
+        ]
+        for k, tol in ((5, mpmath.mpf(10) ** -75), (6, mpmath.mpf(10) ** -90)):
+            a = xf_from_mp(np.array(vals[:4], dtype=object), k=k)
+            b = xf_from_mp(np.array(vals[4:], dtype=object), k=k)
+            q = xf_div(a, b)
+            L = np.asarray(q.limbs, np.float64)
+            for i in range(4):
+                got = mpmath.fsum([mpmath.mpf(float(L[j, i])) for j in range(k)])
+                want = vals[i] / vals[4 + i]
+                assert abs((got - want) / want) < tol, (k, i)
+    finally:
+        mpmath.mp.prec = old
