@@ -49,6 +49,8 @@ def solve_with_escalation(
     C=None,
     b0=0,
     verbose: bool = True,
+    isolate_slow_compiles: bool = True,
+    subprocess_platform: str = "cpu",
     **kwargs,
 ) -> SolveResult:
     """Solve, escalating the limb count on numerical failure.
@@ -56,7 +58,14 @@ def solve_with_escalation(
     Each rung repacks the exact host-side constraint data at the higher
     precision (no accumulation of low-precision rounding in the problem
     data) and warm-starts from the previous iterate.
+
+    isolate_slow_compiles: rungs whose limb count wants a different XLA
+    backend optimization level than this process (k >= 4 needs level 0
+    or single-phase compiles take hours; see core/subproc.py) run in a
+    fresh subprocess with the right flags, on `subprocess_platform`.
     """
+    from clrs_tpu.core import subproc
+
     state = ()
     res = None
     best = None
@@ -73,18 +82,39 @@ def solve_with_escalation(
     for rung, k in enumerate(k_ladder):
         if verbose and rung > 0:
             print(f"[escalate] restarting at k={k} limbs (warm start)")
-        res = solverank1sdp(
-            constraints,
-            b,
-            blockinfo,
-            C=C,
-            b0=b0,
-            precision_k=k,
-            initial_solutions=state,
-            verbose=verbose,
-            maxiterations=remaining,
-            **kwargs,
-        )
+        if isolate_slow_compiles and subproc.needs_isolation(k):
+            if verbose:
+                print(
+                    f"[escalate] k={k} wants "
+                    f"{subproc.xla_flags_for_k(k)!r} — solving in a "
+                    f"subprocess on {subprocess_platform}"
+                )
+            res = subproc.solve_in_subprocess(
+                constraints,
+                b,
+                blockinfo,
+                k,
+                initial_solutions=state,
+                C=C,
+                b0=b0,
+                platform=subprocess_platform,
+                verbose=verbose,
+                maxiterations=remaining,
+                **kwargs,
+            )
+        else:
+            res = solverank1sdp(
+                constraints,
+                b,
+                blockinfo,
+                C=C,
+                b0=b0,
+                precision_k=k,
+                initial_solutions=state,
+                verbose=verbose,
+                maxiterations=remaining,
+                **kwargs,
+            )
         if res.converged:
             return res
         if best is None or merit(res) < merit(best):

@@ -178,3 +178,42 @@ def test_distribute_weights():
     assert sorted(i for s in sets for i in s) == list(range(8))
     assert max(set_weights) <= 64 + 2  # the 64 block dominates; others balance
     assert len(sets) == 3
+
+
+def test_subproc_flag_selection_logic():
+    """Per-k XLA flag automation (core/subproc.py): k>=4 wants backend
+    opt level 0 (level>=1 LLVM compiles cliff on the wide factorization
+    loop bodies), lower k wants the level-1 default."""
+    from clrs_tpu.core import subproc
+
+    assert "level=0" in subproc.xla_flags_for_k(4)
+    assert "level=0" in subproc.xla_flags_for_k(6)
+    assert "level=1" in subproc.xla_flags_for_k(2)
+    assert "fusion_emitters=false" in subproc.xla_flags_for_k(2)
+    # this process: conftest/clrs_tpu set level 1 -> k=2 in-process,
+    # k>=4 isolated
+    assert not subproc.needs_isolation(2)
+    assert not subproc.needs_isolation(3)
+    assert subproc.needs_isolation(4)
+
+
+@pytest.mark.slow
+def test_subproc_solve_roundtrip():
+    """A k=4 solve through the subprocess boundary (exact host data in,
+    numpy-limbed SolveResult out) reproduces the in-process answer."""
+    import mpmath
+    from clrs_tpu.core.blockinfo import get_block_info
+    from clrs_tpu.core.subproc import solve_in_subprocess
+
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    A = [[[v] for v in vs]]
+    H = [[[mpmath.mpf(1)], [mpmath.mpf(1)]]]
+    cons = [(A, np.asarray([[1.0], [2.0]], dtype=object),
+             np.asarray([1.0, 1.0], dtype=object), H)]
+    res = solve_in_subprocess(
+        cons, [1.0], get_block_info(cons), 4,
+        platform="cpu", omega_p=100.0, omega_d=100.0,
+        maxiterations=200, verbose=False)
+    assert res.converged, res.status
+    assert abs(res.primal_objective - 0.5) < 1e-12
+    assert isinstance(np.asarray(res.y.limbs), np.ndarray)
