@@ -161,6 +161,37 @@ def _vec_sum_err_branch(terms, k: int):
     return out
 
 
+def _bitonic_sort_desc(terms):
+    """Sort a term list by descending magnitude with a static bitonic
+    network — an exact, elementwise permutation (each compare-exchange is
+    two selects), so it is EFT-safe and keeps the HLO small and static
+    (jnp.argsort lowers to a general key-value sort whose compile cost
+    dwarfs the arithmetic at k>=5)."""
+    m = len(terms)
+    M = 1
+    while M < m:
+        M *= 2
+    arr = list(terms) + [jnp.zeros_like(terms[0])] * (M - m)
+    size = 2
+    while size <= M:
+        half = size // 2
+        gap = half
+        while gap >= 1:
+            for i in range(M):
+                l = i ^ gap
+                if l > i:
+                    desc = (i & size) == 0  # block direction
+                    a, b = arr[i], arr[l]
+                    swap = jnp.abs(a) < jnp.abs(b)
+                    if not desc:
+                        swap = ~swap
+                    arr[i] = jnp.where(swap, b, a)
+                    arr[l] = jnp.where(swap, a, b)
+            gap //= 2
+        size *= 2
+    return arr[:m]
+
+
 def _renorm(terms, k: int, passes: int = 2, sort: bool = False):
     """Exact-sum compression of arbitrary terms into k limbs.
 
@@ -171,17 +202,14 @@ def _renorm(terms, k: int, passes: int = 2, sort: bool = False):
     position per pass, so e.g. `x + tiny` at k>=5 (Newton refinement
     steps: tiny's limbs interleave below x's last limbs) silently loses
     the last limb with any fixed pass count.  sort=True first orders the
-    terms by magnitude (an exact permutation, elementwise argsort), after
+    terms by magnitude (an exact bitonic permutation network), after
     which the VecSum passes are provably sufficient.
     """
     terms = [t for t in terms]
     if len(terms) == 1:
         return terms + [jnp.zeros_like(terms[0])] * (k - 1)
     if sort:
-        stacked = jnp.stack(terms, axis=0)
-        order = jnp.argsort(-jnp.abs(stacked), axis=0)
-        stacked = jnp.take_along_axis(stacked, order, axis=0)
-        terms = [stacked[i] for i in range(stacked.shape[0])]
+        terms = _bitonic_sort_desc(terms)
     for _ in range(passes):
         terms = _vec_sum(terms)
     out = _vec_sum_err_branch(terms, k)
@@ -405,7 +433,9 @@ def xf_add(a: XF, b: XF) -> XF:
         return _td_add(al, bl)
     if a.k == 4 and b.k == 4:
         return _qw_add(al, bl)
-    # generic: interleave and renormalize (exact-sum, faithful rounding)
+    if k <= 8:
+        return _cascade_add(al, bl, k)
+    # fallback: interleave and renormalize (exact-sum, faithful rounding)
     terms = []
     for i in range(max(a.k, b.k)):
         if i < a.k:
@@ -413,6 +443,47 @@ def xf_add(a: XF, b: XF) -> XF:
         if i < b.k:
             terms.append(bl[i])
     return XF.from_limb_list(_renorm(terms, k, sort=True))
+
+
+def _cascade_add(al, bl, k: int) -> XF:
+    """k-limb add by per-order error cascades — the _td/_qw pattern for
+    any k (exact two_sum per order, errors pushed one order down, plain
+    folds only at the top order where they sit below the last limb's
+    ulp).  Small static HLO: O(k^2/2) two_sums, no data-dependent
+    branching — the sort+VecSumErrBranch generic path, applied per
+    scalar op, made k=5 solver graphs explode LLVM (tens of GB of
+    compiler RSS at any optimization level)."""
+    s, e = [], []
+    for i in range(k - 1):
+        si, ei = two_sum(al[i], bl[i])
+        s.append(si)
+        e.append(ei)
+    # per-order folds: order i absorbs the errors destined to it exactly
+    vals = [s[0]]
+    carry = [e[0]]  # errors destined for order i
+    for i in range(1, k - 1):
+        v = s[i]
+        nxt = []
+        for c in carry:
+            v, g = two_sum(v, c)
+            nxt.append(g)
+        vals.append(v)
+        nxt.append(e[i])
+        carry = nxt
+    top = al[k - 1] + bl[k - 1]
+    for c in carry:
+        top = top + c
+    vals.append(top)
+    # renormalization chain (as _qw_add) + VecSum pull-up for canonical
+    # leading limbs after cancellation
+    r = []
+    hi, err = two_sum(vals[0], vals[1])
+    r.append(hi)
+    for i in range(2, k):
+        hi, err = two_sum(err, vals[i])
+        r.append(hi)
+    r.append(err)
+    return XF.from_limb_list(_vec_sum(r))
 
 
 def _dd_add(al, bl) -> XF:
@@ -521,6 +592,8 @@ def xf_mul(a: XF, b: XF) -> XF:
         return _td_mul(al, bl)
     if a.k == 4 and b.k == 4:
         return _qw_mul(al, bl)
+    if k <= 8:
+        return _cascade_mul(al, bl, k)
     # generic truncated multiplication: exact products (with error terms)
     # for orders i+j <= k-2; plain products for orders k-1 and k, whose
     # rounding errors sit at/below the ulp of the last kept limb.
@@ -542,6 +615,55 @@ def xf_mul(a: XF, b: XF) -> XF:
     if cheap is not None:
         terms.append(cheap)
     return XF.from_limb_list(_renorm(terms, k, passes=2, sort=True))
+
+
+def _cascade_mul(al, bl, k: int) -> XF:
+    """k-limb multiply by per-order error cascades (the _td/_qw pattern
+    for any k): exact two_prods for output orders 0..k-2 with their
+    errors pushed one order down, plain products folded at orders
+    k-1/k, per-order two_sum combines.  Same static-HLO rationale as
+    _cascade_add."""
+    ka, kb = len(al), len(bl)
+    groups: list = [[] for _ in range(k)]
+    for o in range(k - 1):
+        for i in range(o + 1):
+            j = o - i
+            if i < ka and j < kb:
+                p, e = two_prod(al[i], bl[j])
+                groups[o].append(p)
+                if o + 1 < k:
+                    groups[o + 1].append(e)
+    cheap = None
+    for o in (k - 1, k):
+        for i in range(o + 1):
+            j = o - i
+            if i < ka and j < kb:
+                t = al[i] * bl[j]
+                cheap = t if cheap is None else cheap + t
+    if cheap is not None:
+        groups[k - 1].append(cheap)
+    vals = []
+    for o in range(k):
+        terms = groups[o]
+        if not terms:
+            vals.append(jnp.zeros_like(al[0]))
+            continue
+        v = terms[0]
+        for t in terms[1:]:
+            if o == k - 1:
+                v = v + t  # below last-limb ulp
+            else:
+                v, g = two_sum(v, t)
+                groups[o + 1].append(g)
+        vals.append(v)
+    r = []
+    hi, err = two_sum(vals[0], vals[1])
+    r.append(hi)
+    for i in range(2, k):
+        hi, err = two_sum(err, vals[i])
+        r.append(hi)
+    r.append(err)
+    return XF.from_limb_list(_vec_sum(r))
 
 
 def _dd_mul(al, bl) -> XF:
