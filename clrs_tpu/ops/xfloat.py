@@ -434,6 +434,10 @@ def xf_add(a: XF, b: XF) -> XF:
     if a.k == 4 and b.k == 4:
         return _qw_add(al, bl)
     if k <= 8:
+        # mixed-k operands: pad the shorter limb list with exact zeros
+        zero = jnp.zeros(shape, al[0].dtype)
+        al = al + [zero] * (k - len(al))
+        bl = bl + [zero] * (k - len(bl))
         return _cascade_add(al, bl, k)
     # fallback: interleave and renormalize (exact-sum, faithful rounding)
     terms = []

@@ -261,3 +261,28 @@ def test_generic_renorm_k5_newton_refinement_precision():
                 assert abs((got - want) / want) < tol, (k, i)
     finally:
         mpmath.mp.prec = old
+
+
+@pytest.mark.parametrize("ka,kb", [(2, 3), (3, 2), (2, 5), (5, 2), (4, 6), (3, 8)])
+def test_mixed_k_add_mul(ka, kb):
+    """Mixed-limb-count operands promote to max(ka, kb) at full accuracy
+    (regression: the k<=8 cascade dispatch indexed past the shorter
+    operand's limb list)."""
+    rng = np.random.default_rng(ka * 100 + kb)
+    a_mp = rand_mp(rng, 64)
+    b_mp = rand_mp(rng, 64)
+    a = xf_from_mp(a_mp, k=ka)
+    b = xf_from_mp(b_mp, k=kb)
+    kmin = min(ka, kb)
+    tol = ulp_bound(kmin) * 16
+    s = xf_add(a, b)
+    p = xf_mul(a, b)
+    assert s.k == max(ka, kb) and p.k == max(ka, kb)
+    for g, x, y in zip(xf_to_mp(s), a_mp, b_mp):
+        o = x + y
+        scale = max(abs(o), abs(x), abs(y), mpmath.mpf(2) ** -200)
+        assert abs(g - o) <= scale * tol, (g, o)
+    for g, x, y in zip(xf_to_mp(p), a_mp, b_mp):
+        o = x * y
+        scale = max(abs(o), mpmath.mpf(2) ** -200)
+        assert abs(g - o) <= scale * tol, (g, o)
