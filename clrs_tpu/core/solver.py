@@ -105,6 +105,15 @@ class SolverConfig:
     # Pallas SPD-inverse kernel (ops/pallas_dd.py): whole batched
     # Cholesky+solve+W^T W per block in ONE kernel, VMEM-resident — removes
     # the per-column launch latency of the XLA fori_loop factorization
+    use_pallas_matmul: bool = False  # dd (k=2) pairing/weighted-A/trace
+    # products through the fused Pallas outer-product matmul
+    # (ops/pallas_xf.py): whole contraction VMEM-resident, no EFT-barrier
+    # fusion breaks — 1.2-1.6x over the XLA expansion path on TPU v5e for
+    # blocks >= ~24^3 (tiny blocks auto-fallback to the XLA path)
+
+    @property
+    def _matmul_mode(self):
+        return "pallas" if self.use_pallas_matmul else self.use_mxu_matmul
 
 
 # ---------------------------------------------------------------------------
@@ -632,18 +641,18 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
     @jax.jit
     def phase_decomp(problem, X_inv, Y):
         return compute_decomposition(
-            problem, X_inv, Y, cfg.use_lu_schur, cfg.use_mxu_matmul
+            problem, X_inv, Y, cfg.use_lu_schur, cfg._matmul_mode
         )
 
     @jax.jit
     def phase_residuals(problem, x, X, y, A_Y):
-        return compute_residuals(problem, x, X, y, A_Y, cfg.use_mxu_matmul)
+        return compute_residuals(problem, x, X, y, A_Y, cfg._matmul_mode)
 
     @jax.jit
     def phase_direction(problem, P, p, d, R, X_inv, Y, decomp):
         return compute_search_direction(
             problem, P, p, d, R, X_inv, Y, decomp, cfg.use_lu_schur,
-            cfg.refine_steps, cfg.use_mxu_matmul,
+            cfg.refine_steps, cfg._matmul_mode,
         )
 
     @jax.jit

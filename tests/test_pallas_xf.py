@@ -1,0 +1,69 @@
+"""Fused Pallas dd matmul (ops/pallas_xf.py) vs mpmath, interpret mode.
+
+Value-based comparison (hi+lo sums): limb SPLITS may legitimately differ
+from the XLA tree-sum path by an ulp of the hi limb while the represented
+value is identical.
+
+Tolerance note: interpret mode inlines the kernel into an XLA:CPU program
+whose grid loop carries a TUPLE of buffers, and XLA:CPU at backend
+optimization level >= 1 value-changes such loop bodies (lo limbs degrade
+to ~1e-16 relative — the known issue documented in CLAUDE.md; barriers do
+not protect, and the carry structure belongs to Pallas' interpreter, not
+the kernel).  On real TPU hardware (Mosaic) the kernel is BIT-EXACT
+against a sequential xf_mul/xf_add chain (verified on v5e, 2026-08-19,
+batched and single).  Interpret-mode tests therefore use a ~2^-48
+relative tolerance — loose enough for the inlining artifact, tight
+enough to catch indexing/masking/padding bugs (which produce O(1)
+errors).
+"""
+
+import mpmath
+import numpy as np
+import pytest
+
+from clrs_tpu.ops.pallas_xf import xf_matmul_pallas
+from clrs_tpu.ops.xfloat import xf_from_mp, xf_to_mp
+
+mpmath.mp.prec = 220
+
+
+def rand_dd_mp(rng, cnt, scale=8):
+    return [
+        mpmath.mpf(float(x)) * mpmath.mpf(2) ** int(e)
+        + mpmath.mpf(float(y)) * mpmath.mpf(2) ** (int(e) - 40)
+        for x, y, e in zip(
+            rng.standard_normal(cnt),
+            rng.standard_normal(cnt),
+            rng.integers(-scale, scale + 1, cnt),
+        )
+    ]
+
+
+@pytest.mark.parametrize(
+    "batch,n,K,m",
+    [((), 5, 7, 9), ((3,), 8, 8, 8), ((2, 2), 16, 13, 4), ((1,), 4, 33, 24)],
+)
+def test_matmul_pallas_interpret_vs_mpmath(batch, n, K, m):
+    rng = np.random.default_rng(hash((batch, n, K, m)) % 2**32)
+    sa = batch + (n, K)
+    sb = batch + (K, m)
+    a_mp = rand_dd_mp(rng, int(np.prod(sa)))
+    b_mp = rand_dd_mp(rng, int(np.prod(sb)))
+    a = xf_from_mp(a_mp, k=2).reshape(sa)
+    b = xf_from_mp(b_mp, k=2).reshape(sb)
+    # oracle on the dd-rounded inputs (no representation error term)
+    Am = np.array(xf_to_mp(a.reshape((-1,))), dtype=object).reshape(sa)
+    Bm = np.array(xf_to_mp(b.reshape((-1,))), dtype=object).reshape(sb)
+    Ab = Am.reshape((-1, n, K))
+    Bb = Bm.reshape((-1, K, m))
+    C = np.stack([Ab[i] @ Bb[i] for i in range(Ab.shape[0])]).reshape(
+        batch + (n, m)
+    )
+    got = xf_matmul_pallas(a, b, interpret=True)
+    v = np.asarray(got.limbs, np.float64)
+    val = v[0] + v[1]
+    scale_max = float(np.max(np.abs(v[0]))) or 1.0
+    tol = scale_max * 2.0**-48  # interpret-mode bound, see module docstring
+    for idx in np.ndindex(val.shape):
+        err = abs(float(val[idx] - float(C[idx])))
+        assert err <= tol, (idx, err, tol)
