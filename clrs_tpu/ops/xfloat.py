@@ -44,6 +44,17 @@ Array = Any
 # ---------------------------------------------------------------------------
 
 
+import os as _os
+
+# Experimental: drop all EFT optimization barriers (see _opaque).  Barriers
+# block fusion, so every dd op round-trips HBM on TPU; if the backend (or an
+# XLA flag such as --xla_allow_excess_precision=false) preserves the EFT
+# algebra bare, setting CLRS_XF_NO_BARRIERS=1 lets whole iteration bodies
+# fuse.  Validate with scripts/tpu_eft_barrier_probe.py on the target
+# backend BEFORE enabling; default stays ON (safe).
+_NO_BARRIERS = _os.environ.get("CLRS_XF_NO_BARRIERS", "") not in ("", "0")
+
+
 def _opaque(x):
     """Hide a value's defining expression from XLA's algebraic simplifier.
 
@@ -52,6 +63,8 @@ def _opaque(x):
     error that error-free transforms exist to capture.  An optimization
     barrier keeps the EFT algebra intact; it costs nothing at runtime.
     """
+    if _NO_BARRIERS:
+        return x
     return jax.lax.optimization_barrier(x)
 
 

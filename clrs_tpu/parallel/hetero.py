@@ -194,6 +194,62 @@ def make_cluster_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), ("cluster",))
 
 
+def hetero_specs(shapes: Sequence[BundleShape]):
+    """PartitionSpec trees for the bundle data and state pytrees (the
+    cluster axis of every bundle leaf is sharded over mesh axis
+    "cluster"; XF leaves carry a leading limb axis, hence the None)."""
+    clus = P(None, "cluster")
+    rep = P()
+    data_specs = tuple(
+        dict(
+            V=tuple(clus for _ in sh.deltas),
+            H=tuple(clus for _ in sh.deltas),
+            B=clus, c=clus, valid=P("cluster"),
+        )
+        for sh in shapes
+    )
+    bstate_specs = tuple(
+        (clus, tuple(clus for _ in sh.deltas), tuple(clus for _ in sh.deltas))
+        for sh in shapes
+    )
+    state_spec = (bstate_specs, rep)
+    return data_specs, state_spec
+
+
+def globalize(tree, spec_tree, mesh: Mesh):
+    """Turn host-replicated (identical on every process) arrays into GLOBAL
+    jax.Arrays laid out per spec_tree over a (possibly multi-process) mesh.
+
+    Single-process meshes pass through unchanged (jit moves the data).  In a
+    multi-process run every process builds the same full-size host data
+    (problem setup is deterministic), and each contributes the shards its
+    addressable devices own — the multi-host analogue of the reference's
+    shared-memory problem data (MPMP.jl is single-process; SURVEY.md §5.8).
+    """
+    from jax.sharding import NamedSharding
+
+    if jax.process_count() == 1:
+        return tree
+
+    def leaf(x, spec):
+        full = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(full.shape, sh,
+                                            lambda idx: full[idx])
+
+    # spec trees treat XF leaves as single leaves (their limbs array)
+    def is_spec_leaf(n):
+        return isinstance(n, P)
+
+    flat_specs = jax.tree_util.tree_leaves(
+        spec_tree, is_leaf=is_spec_leaf)
+    flat_vals, treedef = jax.tree_util.tree_flatten(tree)
+    assert len(flat_specs) == len(flat_vals), (
+        len(flat_specs), len(flat_vals))
+    out = [leaf(v, s) for v, s in zip(flat_vals, flat_specs)]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def make_hetero_step(
     shapes: Sequence[BundleShape],
     mesh: Mesh,
@@ -554,21 +610,8 @@ def make_hetero_step(
         return (tuple(new_bstates), y_new), diag
 
     # ---- sharding specs ----
-    clus = P(None, "cluster")
+    data_specs, state_spec = hetero_specs(shapes)
     rep = P()
-    data_specs = tuple(
-        dict(
-            V=tuple(clus for _ in sh.deltas),
-            H=tuple(clus for _ in sh.deltas),
-            B=clus, c=clus, valid=P("cluster"),
-        )
-        for sh in shapes
-    )
-    bstate_specs = tuple(
-        (clus, tuple(clus for _ in sh.deltas), tuple(clus for _ in sh.deltas))
-        for sh in shapes
-    )
-    state_spec = (bstate_specs, rep)
     diag_spec = dict(mu=rep, p_obj=rep, d_obj=rep, gap=rep, P_err=rep,
                      p_err=rep, d_err=rep, alpha_p=rep, alpha_d=rep, ok=rep)
     sharded = shard_map(
@@ -601,7 +644,9 @@ def solve_hetero_sharded(
     bstates, y = initial_bundle_state(
         shapes, cfg.omega_p, cfg.omega_d, k, dtype, problem.info.n_y)
     step = make_hetero_step(shapes, mesh, problem.b, cfg, b0=problem.b0)
-    state = (bstates, y)
+    data_specs, state_spec = hetero_specs(shapes)
+    data = globalize(tuple(data), data_specs, mesh)
+    state = globalize((bstates, y), state_spec, mesh)
     pd_feas = False
     it = 0
     gap = np.inf
