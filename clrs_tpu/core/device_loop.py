@@ -87,7 +87,7 @@ def make_device_solve(problem, cfg: SolverConfig):
         return new_state, diag
 
     def body(carry, problem):
-        state, pd, itn, status, best, best_merit, stall, _ = carry
+        state, pd, itn, status, best, best_merit, stall, _, best_diag = carry
         new_state, diag = one_iter(problem, state, pd)
         ok = diag["ok"]
         gap = diag["gap_hi"].astype(jnp.float64)
@@ -99,6 +99,7 @@ def make_device_solve(problem, cfg: SolverConfig):
 
         improved = merit < best_merit
         best = _tree_where(improved, new_state, best)
+        best_diag = _tree_where(improved, diag, best_diag)
         best_merit = jnp.where(improved, merit, best_merit)
         stall = jnp.where(improved, 0, stall + 1)
 
@@ -127,7 +128,8 @@ def make_device_solve(problem, cfg: SolverConfig):
         # on factorization failure the produced state is garbage: keep the
         # entering state for the host (it can escalate from it)
         state_out = _tree_where(ok, new_state, state)
-        return (state_out, new_pd, itn + 1, status, best, best_merit, stall, diag)
+        return (state_out, new_pd, itn + 1, status, best, best_merit, stall,
+                diag, best_diag)
 
     @jax.jit
     def run_chunk(problem, carry, itn_stop):
@@ -151,6 +153,7 @@ def make_device_solve(problem, cfg: SolverConfig):
             state,
             jnp.float64(np.inf),
             jnp.int32(0),
+            diag0,
             diag0,
         )
 
@@ -226,7 +229,7 @@ def solve_on_device(
                 # keep iterate/diagnostic progress, reset stall counter
                 carry = (
                     carry[0], carry[1], carry[2], jnp.int32(RUNNING),
-                    carry[4], carry[5], jnp.int32(0), carry[7],
+                    carry[4], carry[5], jnp.int32(0), carry[7], carry[8],
                 )
                 continue
             break
@@ -238,8 +241,16 @@ def solve_on_device(
     best_merit = float(carry[5])
     converged = status_code in (OPTIMAL, PRIMAL_FEASIBLE, DUAL_FEASIBLE)
     status = _STATUS_NAMES.get(status_code, "max_iterations")
+    last = history[-1] if history else {}
     if status_code in (NUMERICAL_FAIL, STALLED) and np.isfinite(best_merit):
         state = best_state  # best-iterate contract (solver.py stall guard)
+        # report the BEST iterate's metrics, not the (possibly exploded)
+        # last ones — gap/objectives must describe the returned state
+        bd = {kk: np.asarray(v) for kk, v in carry[8].items()}
+        last = dict(
+            gap=float(bd["gap_hi"]), p_obj=float(bd["p_obj"]),
+            d_obj=float(bd["d_obj"]),
+        )
     x, y, X, Y = state
     from clrs_tpu.ops.xfloat import xf_div, xf_matmul
 
@@ -247,7 +258,6 @@ def solve_on_device(
         x = xf_div(x, problem.x_sigma)
     if problem.y_R_inv is not None:
         y = xf_matmul(problem.y_R_inv, y)
-    last = history[-1] if history else {}
     res = SolveResult(
         x=x, X=X, y=y, Y=Y, P=None, p=None, d=None,
         dual_gap=last.get("gap", float("nan")),
