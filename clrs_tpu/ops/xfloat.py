@@ -46,13 +46,26 @@ Array = Any
 
 import os as _os
 
-# Experimental: drop all EFT optimization barriers (see _opaque).  Barriers
-# block fusion, so every dd op round-trips HBM on TPU; if the backend (or an
-# XLA flag such as --xla_allow_excess_precision=false) preserves the EFT
-# algebra bare, setting CLRS_XF_NO_BARRIERS=1 lets whole iteration bodies
-# fuse.  Validate with scripts/tpu_eft_barrier_probe.py on the target
-# backend BEFORE enabling; default stays ON (safe).
-_NO_BARRIERS = _os.environ.get("CLRS_XF_NO_BARRIERS", "") not in ("", "0")
+# EFT barrier policy.  Barriers block fusion, so every dd op round-trips
+# HBM on TPU; scripts/tpu_eft_barrier_probe.py verifies that XLA:TPU
+# preserves the EFT algebra bare (elementwise chains, scan bodies, matmul
+# contractions, cancelling dots — all bit-identical with barriers on/off,
+# measured on v5e), so the TPU backend defaults to NO barriers and whole
+# iteration bodies fuse.  XLA:CPU is kept ON: its simplifier/fusion stack
+# has three documented EFT-breaking rewrites (see module docstring of
+# clrs_tpu/__init__.py).  Override with CLRS_XF_NO_BARRIERS=1/0.
+_NO_BARRIERS_ENV = _os.environ.get("CLRS_XF_NO_BARRIERS", "")
+_NO_BARRIERS: Any = None  # resolved lazily (backend not known at import)
+
+
+def _barriers_off() -> bool:
+    global _NO_BARRIERS
+    if _NO_BARRIERS is None:
+        if _NO_BARRIERS_ENV != "":
+            _NO_BARRIERS = _NO_BARRIERS_ENV != "0"
+        else:
+            _NO_BARRIERS = jax.default_backend() == "tpu"
+    return _NO_BARRIERS
 
 
 def _opaque(x):
@@ -61,9 +74,10 @@ def _opaque(x):
     XLA (with its default allow_excess_precision) may rewrite patterns like
     (a+b)-a -> b, which is real-arithmetic-valid but destroys the rounding
     error that error-free transforms exist to capture.  An optimization
-    barrier keeps the EFT algebra intact; it costs nothing at runtime.
+    barrier keeps the EFT algebra intact; it costs nothing at runtime
+    (but blocks fusion — see _barriers_off for the per-backend policy).
     """
-    if _NO_BARRIERS:
+    if _barriers_off():
         return x
     return jax.lax.optimization_barrier(x)
 
@@ -446,7 +460,7 @@ def xf_add(a: XF, b: XF) -> XF:
         return _td_add(al, bl)
     if a.k == 4 and b.k == 4:
         return _qw_add(al, bl)
-    if k <= 8:
+    if k <= 12:
         # mixed-k operands: pad the shorter limb list with exact zeros
         zero = jnp.zeros(shape, al[0].dtype)
         al = al + [zero] * (k - len(al))
@@ -609,7 +623,7 @@ def xf_mul(a: XF, b: XF) -> XF:
         return _td_mul(al, bl)
     if a.k == 4 and b.k == 4:
         return _qw_mul(al, bl)
-    if k <= 8:
+    if k <= 12:
         return _cascade_mul(al, bl, k)
     # generic truncated multiplication: exact products (with error terms)
     # for orders i+j <= k-2; plain products for orders k-1 and k, whose

@@ -263,6 +263,36 @@ def test_generic_renorm_k5_newton_refinement_precision():
         mpmath.mp.prec = old
 
 
+@pytest.mark.parametrize("k", [9, 10])
+def test_cascade_high_k(k):
+    """k=9/10 limbs (~477/530 bits — the reference's 512-bit regime,
+    MPMP.jl:17 + examples/SpherePacking.jl:29-31) through the cascade
+    kernels: add/mul/div accuracy tracks ulp_bound(k)."""
+    import mpmath
+
+    old = mpmath.mp.prec
+    mpmath.mp.prec = 1400
+    try:
+        rng = np.random.default_rng(k)
+        a_mp = rand_mp(rng, 16)
+        b_mp = rand_mp(rng, 16)
+        a = xf_from_mp(a_mp, k=k)
+        b = xf_from_mp(b_mp, k=k)
+        tol = ulp_bound(k) * 64
+        for got, x, y in zip(xf_to_mp(xf_mul(a, b)), a_mp, b_mp):
+            o = x * y
+            assert abs(got - o) <= abs(o) * tol, (got, o)
+        for got, x, y in zip(xf_to_mp(xf_add(a, b)), a_mp, b_mp):
+            o = x + y
+            scale = max(abs(o), abs(x), abs(y))
+            assert abs(got - o) <= scale * tol, (got, o)
+        for got, x, y in zip(xf_to_mp(xf_div(a, b)), a_mp, b_mp):
+            o = x / y
+            assert abs(got - o) <= abs(o) * tol * 8, (got, o)
+    finally:
+        mpmath.mp.prec = old
+
+
 @pytest.mark.parametrize("ka,kb", [(2, 3), (3, 2), (2, 5), (5, 2), (4, 6), (3, 8)])
 def test_mixed_k_add_mul(ka, kb):
     """Mixed-limb-count operands promote to max(ka, kb) at full accuracy
