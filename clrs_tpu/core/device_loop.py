@@ -101,7 +101,12 @@ def make_device_solve(problem, cfg: SolverConfig):
         best = _tree_where(improved, new_state, best)
         best_diag = _tree_where(improved, diag, best_diag)
         best_merit = jnp.where(improved, merit, best_merit)
-        stall = jnp.where(improved, 0, stall + 1)
+        # explosion detector (SolverConfig.blowup_factor): past-the-floor
+        # iterations burn the stall budget blowup_weight at a time
+        exploded = merit > best_merit * cfg.blowup_factor
+        stall = jnp.where(
+            improved, 0, stall + jnp.where(exploded, cfg.blowup_weight, 1)
+        )
 
         primal_feas = pe < cfg.primal_error_threshold
         dual_feas = de < cfg.dual_error_threshold

@@ -88,6 +88,15 @@ class SolverConfig:
     need_primal_feasible: bool = False
     need_dual_feasible: bool = False
     stall_patience: int = 40  # stop after this many non-improving iterations
+    # explosion detector: once the merit (max of gap and feasibility
+    # errors) exceeds best*blowup_factor the iterates are past the
+    # precision floor and every further step wastes time degrading — count
+    # such iterations toward the stall budget with this weight so the run
+    # ends within ~stall_patience/blowup_weight iterations of the blowup
+    # (the reference has no floor: at 512 bits it meets its thresholds
+    # first; our k-limb rungs hit the floor and must exit cleanly)
+    blowup_factor: float = 1e3
+    blowup_weight: int = 8
     verbose: bool = True
     testing: bool = False  # print early-iteration timings (MPMP.jl:612)
     profile_dir: Optional[str] = None  # write a jax.profiler trace of the
@@ -975,7 +984,8 @@ def solverank1sdp(
             best_row = row
             stall_count = 0
         else:
-            stall_count += 1
+            exploded = merit > best_merit * cfg.blowup_factor
+            stall_count += cfg.blowup_weight if exploded else 1
         if stall_count >= cfg.stall_patience:
             status = "stalled"
             state = best_state

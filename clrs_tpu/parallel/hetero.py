@@ -673,7 +673,7 @@ def solve_hetero_sharded(
             best = (merit, state, diag)
             stall = 0
         else:
-            stall += 1
+            stall += cfg.blowup_weight if merit > best[0] * cfg.blowup_factor else 1
         if verbose:
             print(f"iter {it}: mu={float(np.asarray(diag['mu'])):.3e} "
                   f"p={po:.12f} d={do:.12f} gap={gap:.2e} "
