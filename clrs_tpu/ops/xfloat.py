@@ -460,6 +460,8 @@ def xf_add(a: XF, b: XF) -> XF:
         return _td_add(al, bl)
     if a.k == 4 and b.k == 4:
         return _qw_add(al, bl)
+    if k >= _LOOP_MIN_K:
+        return _loop_add(al, bl, k)
     if k <= 12:
         # mixed-k operands: pad the shorter limb list with exact zeros
         zero = jnp.zeros(shape, al[0].dtype)
@@ -474,6 +476,86 @@ def xf_add(a: XF, b: XF) -> XF:
         if i < b.k:
             terms.append(bl[i])
     return XF.from_limb_list(_renorm(terms, k, sort=True))
+
+
+# Loop-ified kernels: HLO size O(1) in k (lax.fori_loop over a stacked
+# bucket array) at O(k^3)-ish runtime, vs the unrolled cascades' O(k^2)
+# HLO / O(k^2) runtime.  The unrolled cascades win at runtime but their
+# per-op-site HLO makes XLA/LLVM compile cost explode at high k (the k=10
+# phase-split solver compile exceeded 114 GB compiler RSS).  Threshold
+# overridable for experiments (e.g. CLRS_XF_LOOP_KERNELS_MIN_K=5).
+_LOOP_MIN_K = int(_os.environ.get("CLRS_XF_LOOP_KERNELS_MIN_K", "13"))
+
+
+def _bucket_accumulate(C, v, o):
+    """Exactly add v into the stacked bucket expansion C at order o.
+
+    C is (kb + 1, *shape): slots 0..kb-1 are buckets, slot kb is the loop
+    carry (kept stacked in ONE array — XLA:CPU value-changes fori_loop
+    bodies with tuple-of-array carries, see CLAUDE.md).  Chain of exact
+    two_sums from slot o upward (Shewchuk grow-expansion); the leftover,
+    below the last bucket's ulp, folds plain into the top bucket.  o may
+    be a traced scalar; o >= kb-1 degenerates to a plain add into the top
+    bucket (used for the order-k products whose rounding error is slack).
+    """
+    kb = C.shape[0] - 1
+    C = C.at[kb].set(v)
+
+    def step(t, C):
+        slot = jnp.squeeze(jax.lax.dynamic_slice_in_dim(C, t, 1, axis=0), 0)
+        vv = C[kb]
+        s, e = two_sum(slot, vv)
+        active = t >= o
+        s = jnp.where(active, s, slot)
+        e = jnp.where(active, e, vv)
+        C = jax.lax.dynamic_update_slice_in_dim(C, s[None], t, axis=0)
+        return C.at[kb].set(e)
+
+    C = jax.lax.fori_loop(0, kb - 1, step, C)
+    return C.at[kb - 1].add(C[kb])
+
+
+def _loop_mul(al, bl, k: int) -> XF:
+    """k-limb multiply with O(1) HLO in k: fori_loop over the (i, j) limb
+    pairs of order i+j <= k, exact two_prod per pair, products and their
+    errors cascade-accumulated into k+1 order buckets, final faithful
+    renormalization (sorted VecSum)."""
+    ka, kb_ops = len(al), len(bl)
+    pairs = [(i, j) for i in range(ka) for j in range(kb_ops) if i + j <= k]
+    I = jnp.asarray([p[0] for p in pairs], dtype=jnp.int32)
+    J = jnp.asarray([p[1] for p in pairs], dtype=jnp.int32)
+    a_st = jnp.stack(al, axis=0)
+    b_st = jnp.stack(bl, axis=0)
+    C0 = jnp.zeros((k + 2,) + al[0].shape, al[0].dtype)
+
+    def body(t, C):
+        i = I[t]
+        j = J[t]
+        a = jnp.squeeze(jax.lax.dynamic_slice_in_dim(a_st, i, 1, axis=0), 0)
+        b = jnp.squeeze(jax.lax.dynamic_slice_in_dim(b_st, j, 1, axis=0), 0)
+        p, e = two_prod(a, b)
+        C = _bucket_accumulate(C, p, i + j)
+        return _bucket_accumulate(C, e, i + j + 1)
+
+    C = jax.lax.fori_loop(0, len(pairs), body, C0)
+    terms = [C[t] for t in range(k + 1)]
+    return XF.from_limb_list(_renorm(terms, k, passes=2, sort=True))
+
+
+def _loop_add(al, bl, k: int) -> XF:
+    """k-limb add with O(1) HLO in k: buckets start as a, each limb of b
+    cascade-accumulated at its order, faithful renormalization."""
+    a_pad = list(al) + [jnp.zeros_like(al[0])] * (k + 1 - len(al))
+    C0 = jnp.stack(a_pad[: k + 1] + [jnp.zeros_like(al[0])], axis=0)
+    b_st = jnp.stack(bl, axis=0)
+
+    def body(i, C):
+        v = jnp.squeeze(jax.lax.dynamic_slice_in_dim(b_st, i, 1, axis=0), 0)
+        return _bucket_accumulate(C, v, i)
+
+    C = jax.lax.fori_loop(0, len(bl), body, C0)
+    terms = [C[t] for t in range(k + 1)]
+    return XF.from_limb_list(_renorm(terms, k, passes=2, sort=True))
 
 
 def _cascade_add(al, bl, k: int) -> XF:
@@ -623,6 +705,8 @@ def xf_mul(a: XF, b: XF) -> XF:
         return _td_mul(al, bl)
     if a.k == 4 and b.k == 4:
         return _qw_mul(al, bl)
+    if k >= _LOOP_MIN_K:
+        return _loop_mul(al, bl, k)
     if k <= 12:
         return _cascade_mul(al, bl, k)
     # generic truncated multiplication: exact products (with error terms)
