@@ -213,24 +213,33 @@ def test_fast_path_canonical_leading_limb_after_cancellation():
     cancellation of the two leading orders left the value stranded in
     limbs[1] with limbs[0] == 0 — downstream, LU pivot selection read
     |limbs[0]| = 0 and xf_reciprocal's 1/limbs[0] seed produced inf/NaN
-    (the sphere-packing 2d=16 k=4 Schur factorization failure)."""
+    (the sphere-packing 2d=16 k=4 Schur factorization failure).
+
+    Sets its own mpmath precision: the test values span 161 bits, and the
+    ambient precision is whatever an earlier test left (order-fragile
+    otherwise)."""
     import mpmath
 
-    for k, low in ((3, -90), (4, -120)):
-        a = xf_from_mp(
-            np.array([mpmath.mpf(2) ** 40 + mpmath.mpf(2) ** -30], dtype=object), k=k
-        )
-        b = xf_from_mp(
-            np.array(
-                [-(mpmath.mpf(2) ** 40) - mpmath.mpf(2) ** -30 + mpmath.mpf(2) ** low],
-                dtype=object,
-            ),
-            k=k,
-        )
-        s = xf_add(a, b)
-        lead = float(np.asarray(s.limbs)[0, 0])
-        assert lead != 0.0, (k, np.asarray(s.limbs)[:, 0])
-        assert abs(lead - 2.0**low) < 1e-3 * 2.0**low
+    old = mpmath.mp.prec
+    mpmath.mp.prec = 300
+    try:
+        for k, low in ((3, -90), (4, -120)):
+            a = xf_from_mp(
+                np.array([mpmath.mpf(2) ** 40 + mpmath.mpf(2) ** -30], dtype=object), k=k
+            )
+            b = xf_from_mp(
+                np.array(
+                    [-(mpmath.mpf(2) ** 40) - mpmath.mpf(2) ** -30 + mpmath.mpf(2) ** low],
+                    dtype=object,
+                ),
+                k=k,
+            )
+            s = xf_add(a, b)
+            lead = float(np.asarray(s.limbs)[0, 0])
+            assert lead != 0.0, (k, np.asarray(s.limbs)[:, 0])
+            assert abs(lead - 2.0**low) < 1e-3 * 2.0**low
+    finally:
+        mpmath.mp.prec = old
 
 
 def test_generic_renorm_k5_newton_refinement_precision():
