@@ -785,7 +785,14 @@ def initial_state(problem: SDPProblem, cfg: SolverConfig):
 
 @dataclass
 class SolveResult:
-    """Return bundle mirroring the reference's tuple (MPMP.jl:1014-1024)."""
+    """Return bundle mirroring the reference's tuple (MPMP.jl:1014-1024).
+
+    P (block-diag), p, d are the residuals at the returned iterate
+    (MPMP.jl:1014-1020), expressed in the solver's INTERNAL preconditioned
+    coordinates (trace-equilibrated x, orthonormalized y-basis) — their
+    max-abs values are exactly the P/p/d errors the convergence contract
+    checks.  x and y themselves are untransformed to user coordinates.
+    """
 
     x: XF
     X: Any
@@ -866,24 +873,31 @@ def solverank1sdp(
     best_merit = np.inf
     best_state = state
     best_row = None
+    best_res = (None, None, None)  # (P, p, d) at the best iterate
+    last_res = (None, None, None)
     stall_count = 0
     # per-phase wall-clock buckets (reference's timings array, MPMP.jl:738-740;
     # first 2 iterations excluded as compile time, MPMP.jl:888-898)
     timings: Dict[str, float] = {}
+
+    iter_times: Dict[str, float] = {}  # current-iteration phase times
 
     def timed(name, fn, *args):
         t = time.time()
         with jax.profiler.TraceAnnotation(f"ipm/{name}"):
             out = fn(*args)
             jax.block_until_ready(out)
+        dt = time.time() - t
         if itn > 2:
-            timings[name] = timings.get(name, 0.0) + time.time() - t
+            timings[name] = timings.get(name, 0.0) + dt
+        iter_times[name] = iter_times.get(name, 0.0) + dt
         return out
 
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
     while itn < cfg.maxiterations:
         itn += 1
+        iter_times = {}
         pd = jnp.bool_(pd_feas)
         mu, R, X_inv, ok_inv = timed("Xinv+R", phases["mu_R_Xinv"], problem, state, pd)
         if not bool(np.asarray(ok_inv)):
@@ -963,12 +977,20 @@ def solverank1sdp(
             beta=float(diag["beta_c"]),
         )
         history.append(row)
+        last_res = (P, p, d)
         if cfg.verbose:
             print(
                 f"{itn:5d} {row['time']:8.1f} {row['mu']:11.3e} "
                 f"{row['p_obj']:11.3e} {row['d_obj']:11.3e} {gap:10.2e} "
                 f"{row['P_err']:10.2e} {row['p_err']:10.2e} {row['d_err']:10.2e} "
                 f"{row['alpha_p']:10.2e} {row['alpha_d']:10.2e} {row['beta']:10.2e}"
+            )
+        if cfg.testing and itn <= 5:
+            # early-iteration phase timings (the reference's testing=true
+            # prints, MPMP.jl:612, 899-921)
+            print(
+                "  phases: "
+                + " ".join(f"{n}={t:.3f}s" for n, t in iter_times.items())
             )
 
         # stall safeguard (not in the reference, which loops to
@@ -982,6 +1004,7 @@ def solverank1sdp(
             best_merit = merit
             best_state = state
             best_row = row
+            best_res = (P, p, d)
             stall_count = 0
         else:
             exploded = merit > best_merit * cfg.blowup_factor
@@ -1032,10 +1055,12 @@ def solverank1sdp(
                 print(f"  {name:>14}: {tval:9.3f}s")
 
     report_row = history[-1] if history else None
+    res_out = last_res
     if (
         status.startswith("numerical_failure") or status == "stalled"
     ) and best_row is not None:
         report_row = best_row
+        res_out = best_res
 
     x, y, X, Y = state
     if problem.x_sigma is not None:
@@ -1049,9 +1074,9 @@ def solverank1sdp(
         X=X,
         y=y,
         Y=Y,
-        P=None,
-        p=None,
-        d=None,
+        P=res_out[0],
+        p=res_out[1],
+        d=res_out[2],
         dual_gap=gap,
         primal_objective=report_row["p_obj"] if report_row else float("nan"),
         dual_objective=report_row["d_obj"] if report_row else float("nan"),

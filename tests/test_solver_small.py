@@ -51,6 +51,16 @@ def test_lp_as_sdp_single_cluster():
     assert res.dual_gap < 1e-15
     assert res.history[-1]["P_err"] < 1e-25
     assert res.history[-1]["d_err"] < 1e-25
+    # residuals are returned (MPMP.jl:1014-1020) and consistent with the
+    # reported errors
+    assert res.P is not None and res.p is not None and res.d is not None
+    from clrs_tpu.core.solver import compute_error_bd
+    from clrs_tpu.ops.xfloat import xf_norm_max
+
+    P_err = float(np.asarray(compute_error_bd(res.P).to_float64()))
+    d_err = float(np.asarray(xf_norm_max(res.d).to_float64()))
+    assert abs(P_err - res.history[-1]["P_err"]) <= 1e-30 + 1e-6 * P_err
+    assert abs(d_err - res.history[-1]["d_err"]) <= 1e-30 + 1e-6 * d_err
 
 
 def test_lp_interior_solution():
