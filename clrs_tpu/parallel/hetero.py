@@ -49,7 +49,12 @@ from clrs_tpu.core.kernels import (
     weighted_A_block,
 )
 from clrs_tpu.core.problem import SDPProblem
-from clrs_tpu.ops.linalg import xf_min_eig_sym, xf_spd_inverse, xf_sym
+from clrs_tpu.ops.linalg import (
+    xf_inverse_lu,
+    xf_min_eig_sym,
+    xf_spd_inverse,
+    xf_sym,
+)
 from clrs_tpu.ops.xfloat import (
     XF,
     xf_add,
@@ -157,7 +162,15 @@ def bundles_from_problem(
         valid = jnp.asarray(
             [1.0] * J_real + [0.0] * (J - J_real), dtype=dtype
         )
-        data.append(dict(V=tuple(V), H=tuple(H), B=B, c=c_, valid=valid))
+        entry = dict(V=tuple(V), H=tuple(H), B=B, c=c_, valid=valid)
+        if problem.C_blocks is not None:
+            # cost matrix C (MPMP.jl:589-592): padded clusters carry C=0
+            bs = [shape.bs(l) for l in range(shape.L)]
+            entry["C"] = tuple(
+                padstack([problem.C_blocks[j][l] for j in js], (bs[l], bs[l]))
+                for l in range(shape.L)
+            )
+        data.append(entry)
         shapes.append(shape)
         owners.append(js)
     return shapes, data, owners
@@ -194,20 +207,24 @@ def make_cluster_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), ("cluster",))
 
 
-def hetero_specs(shapes: Sequence[BundleShape]):
+def hetero_specs(shapes: Sequence[BundleShape], has_C: bool = False):
     """PartitionSpec trees for the bundle data and state pytrees (the
     cluster axis of every bundle leaf is sharded over mesh axis
     "cluster"; XF leaves carry a leading limb axis, hence the None)."""
     clus = P(None, "cluster")
     rep = P()
-    data_specs = tuple(
-        dict(
+
+    def entry(sh):
+        d = dict(
             V=tuple(clus for _ in sh.deltas),
             H=tuple(clus for _ in sh.deltas),
             B=clus, c=clus, valid=P("cluster"),
         )
-        for sh in shapes
-    )
+        if has_C:
+            d["C"] = tuple(clus for _ in sh.deltas)
+        return d
+
+    data_specs = tuple(entry(sh) for sh in shapes)
     bstate_specs = tuple(
         (clus, tuple(clus for _ in sh.deltas), tuple(clus for _ in sh.deltas))
         for sh in shapes
@@ -256,6 +273,7 @@ def make_hetero_step(
     b: XF,
     cfg=None,
     b0: Optional[XF] = None,
+    has_C: bool = False,
 ):
     """Build the jitted cluster-sharded IPM step over all bundles.
 
@@ -263,6 +281,12 @@ def make_hetero_step(
       (data: tuple of bundle dicts, state: (bstates, y), pd_feas: bool)
       -> ((bstates, y), diag)
     where bstates[b] = (x_b, X_b tuple, Y_b tuple).
+
+    Feature parity with core/solver.py: C_blocks/b0 in residuals and the
+    dual objective (has_C; MPMP.jl:589-592), saddle iterative refinement
+    (cfg.refine_steps), and the Cholesky->LU degradation ladders
+    (cfg.use_lu_inverse / cfg.use_lu_schur; diag reports ok_inv and
+    ok_schur separately so the driver can switch the right one).
     """
     from clrs_tpu.core.solver import SolverConfig
 
@@ -274,6 +298,8 @@ def make_hetero_step(
     gamma = cfg.gamma
     Ktot = float(sum(sh.J_real * sh.psd_size for sh in shapes))
     nB = len(shapes)
+    inv_x = xf_inverse_lu if cfg.use_lu_inverse else xf_spd_inverse
+    inv_s = xf_inverse_lu if cfg.use_lu_schur else xf_spd_inverse
 
     def allsum(v: XF) -> XF:
         """Sum a per-cluster XF over ALL clusters of one bundle: all-gather
@@ -311,6 +337,8 @@ def make_hetero_step(
         mu_p = xf_where(pd_feas, zero, xf_mul(mu, beta_inf))
 
         # ---- per-bundle: R, X^-1, decomposition, residual pieces ----
+        ok_inv = jnp.bool_(True)
+        ok_schur = jnp.bool_(True)
         ok = jnp.bool_(True)
         bundle_ws: List[Dict[str, Any]] = [dict() for _ in range(nB)]
         Q = XF.zeros((n_y, n_y), k=k, dtype=dtype)
@@ -331,9 +359,9 @@ def make_hetero_step(
                         xf_mul(eye, mu_p), -xf_matmul(Xj, Yj))
                 )(Xs[l], Ys[l]))
                 inv, oki = jax.vmap(
-                    xf_spd_inverse, in_axes=1, out_axes=(1, 0))(Xs[l])
+                    inv_x, in_axes=1, out_axes=(1, 0))(Xs[l])
                 Xinvs.append(vb(xf_sym)(inv))
-                ok = ok & jnp.all(oki)
+                ok_inv = ok_inv & jnp.all(oki)
             ws["R"] = Rs
             ws["Xinv"] = Xinvs
 
@@ -354,22 +382,24 @@ def make_hetero_step(
                 # identity for padded clusters (S would be singular)
                 eye = XF.eye(sh.dim_S, k=k, dtype=dtype)
                 S_j = xf_add(S_j, XF(eye.limbs * (1.0 - valid_j)))
-                S_inv, okj = xf_spd_inverse(S_j)
+                S_inv, okj = inv_s(S_j)
                 S_inv = xf_sym(S_inv)
                 SB = xf_matmul(S_inv, B_j)
                 Qp = xf_matmul(B_j.T, SB)
-                return S_inv, SB, Qp, tuple(ay), okj
+                return S_j, S_inv, SB, Qp, tuple(ay), okj
 
             in_ax = (0, 1) + (1,) * (4 * sh.L)
-            S_inv, SB, Qpart, A_Y, ok_s = jax.vmap(
+            S_mat, S_inv, SB, Qpart, A_Y, ok_s = jax.vmap(
                 percl_decomp, in_axes=in_ax,
-                out_axes=(1, 1, 1, tuple(1 for _ in range(sh.L)), 0),
+                out_axes=(1, 1, 1, 1, tuple(1 for _ in range(sh.L)), 0),
             )(valid, d_b["B"], *Xinvs, *Ys, *d_b["V"], *d_b["H"])
-            ok = ok & jnp.all(ok_s)
-            ws["S_inv"], ws["SB"], ws["A_Y"] = S_inv, SB, A_Y
+            ok_schur = ok_schur & jnp.all(ok_s)
+            ws["S_mat"], ws["S_inv"], ws["SB"], ws["A_Y"] = (
+                S_mat, S_inv, SB, A_Y)
             Q = xf_add(Q, allsum(Qpart))
 
             # residuals: P per l (masked), p partial, d
+            # P = sum_i x_i A_i - X - C  (MPMP.jl:1107-1125)
             Ps = []
             for l in range(sh.L):
                 P_l = vb(
@@ -379,6 +409,8 @@ def make_hetero_step(
                         -X_j,
                     )
                 )(x_b, d_b["V"][l], d_b["H"][l], Xs[l])
+                if has_C:
+                    P_l = xf_add(P_l, -d_b["C"][l])
                 Ps.append(XF(P_l.limbs * valid[None, :, None, None]))
             ws["P"] = Ps
             pp = allsum(vb(lambda B_j, x_j: xf_matmul(B_j.T, x_j))(d_b["B"], x_b))
@@ -397,20 +429,62 @@ def make_hetero_step(
             )
 
         p = xf_add(b, -p_acc)
-        Q_inv, ok_q = xf_spd_inverse(xf_sym(Q))
-        ok = ok & ok_q
+        Q_inv, ok_q = inv_s(xf_sym(Q))
+        ok_schur = ok_schur & ok_q
+
+        # ---- saddle solve pieces (MPMP.jl:1743-1776, re-derived as
+        # matmuls against the materialized inverses; identical math to
+        # core/solver.py's saddle_solve/saddle_residual) ----
+        def saddle_solve(rxs, ry):
+            """rxs[bi]: (dim_S, 1) per cluster; ry: (n_y, 1) replicated.
+            Returns (dxs per bundle, dy)."""
+            acc = None
+            txs = []
+            for bi, sh in enumerate(shapes):
+                d_b = data[bi]
+                ws = bundle_ws[bi]
+                tx = vb(lambda S_inv_j, r_j: xf_matmul(S_inv_j, r_j))(
+                    ws["S_inv"], rxs[bi])
+                txs.append(tx)
+                a = allsum(vb(lambda B_j, t_j: xf_matmul(B_j.T, t_j))(
+                    d_b["B"], tx))
+                acc = a if acc is None else xf_add(acc, a)
+            dy = xf_matmul(Q_inv, xf_add(ry, -acc))
+            dxs = []
+            for bi, sh in enumerate(shapes):
+                ws = bundle_ws[bi]
+                dxs.append(vb(lambda t_j, SB_j: xf_add(
+                    t_j, xf_matmul(SB_j, dy)))(txs[bi], ws["SB"]))
+            return dxs, dy
+
+        def saddle_residual(rxs, ry, dxs, dy):
+            """True system residual: rx - (S dx - B dy), ry - sum B^T dx."""
+            rrs = []
+            accb = None
+            for bi, sh in enumerate(shapes):
+                d_b = data[bi]
+                ws = bundle_ws[bi]
+                rr = vb(
+                    lambda r_j, S_j, dx_j, B_j: xf_add(
+                        r_j, xf_add(-xf_matmul(S_j, dx_j),
+                                    xf_matmul(B_j, dy)))
+                )(rxs[bi], ws["S_mat"], dxs[bi], d_b["B"])
+                rrs.append(rr)
+                a = allsum(vb(lambda B_j, dx_j: xf_matmul(B_j.T, dx_j))(
+                    d_b["B"], dxs[bi]))
+                accb = a if accb is None else xf_add(accb, a)
+            return rrs, xf_add(ry, -accb)
 
         # ---- search directions (shared by predictor/corrector) ----
         def directions(Rs_all):
-            acc = None
-            txs = []
+            rxs = []
             for bi, sh in enumerate(shapes):
                 x_b, Xs, Ys = bstates[bi]
                 d_b = data[bi]
                 ws = bundle_ws[bi]
                 m, K = sh.m, sh.K
 
-                def percl_dir(d_j, S_inv_j, *rest):
+                def percl_rhs(d_j, *rest):
                     P_l = rest[:sh.L]
                     R_l = rest[sh.L:2 * sh.L]
                     Xinv_l = rest[2 * sh.L:3 * sh.L]
@@ -425,19 +499,21 @@ def make_hetero_step(
                         t = trace_A_generic(
                             Z, V_l[l], H_l[l], m, K, sh.rmaxs[l])
                         trZ = t if trZ is None else xf_add(trZ, t)
-                    rhs_x_j = xf_add(-d_j, -XF(trZ.limbs[..., None]))
-                    tx = xf_matmul(S_inv_j, rhs_x_j)
-                    return tx
+                    return xf_add(-d_j, -XF(trZ.limbs[..., None]))
 
-                tx = jax.vmap(
-                    percl_dir, in_axes=(1,) * (2 + 6 * sh.L), out_axes=1
-                )(ws["d"], ws["S_inv"], *ws["P"], *Rs_all[bi], *ws["Xinv"],
-                  *Ys, *d_b["V"], *d_b["H"])
-                txs.append(tx)
-                a = allsum(vb(lambda B_j, t_j: xf_matmul(B_j.T, t_j))(
-                    d_b["B"], tx))
-                acc = a if acc is None else xf_add(acc, a)
-            dy = xf_matmul(Q_inv, xf_add(p, -acc))
+                rxs.append(jax.vmap(
+                    percl_rhs, in_axes=(1,) * (1 + 6 * sh.L), out_axes=1
+                )(ws["d"], *ws["P"], *Rs_all[bi], *ws["Xinv"],
+                  *Ys, *d_b["V"], *d_b["H"]))
+
+            dxs, dy = saddle_solve(rxs, p)
+            # iterative refinement (as core/solver.py): each round squares
+            # the effective solve accuracy eps*cond(S)
+            for _ in range(cfg.refine_steps):
+                rrs, rry = saddle_residual(rxs, p, dxs, dy)
+                ddxs, ddy = saddle_solve(rrs, rry)
+                dxs = [xf_add(dxs[bi], ddxs[bi]) for bi in range(nB)]
+                dy = xf_add(dy, ddy)
 
             outs = []
             for bi, sh in enumerate(shapes):
@@ -445,8 +521,7 @@ def make_hetero_step(
                 d_b = data[bi]
                 ws = bundle_ws[bi]
                 m, K = sh.m, sh.K
-                dx = vb(lambda t_j, SB_j: xf_add(
-                    t_j, xf_matmul(SB_j, dy)))(txs[bi], ws["SB"])
+                dx = dxs[bi]
                 dXs, dYs = [], []
                 for l in range(sh.L):
                     dX_l = vb(
@@ -574,10 +649,28 @@ def make_hetero_step(
         for t in pobj_parts[1:]:
             p_obj = xf_add(p_obj, t)
         d_obj = xf_sum(xf_mul(b, y_new).reshape((-1,)), axis=0)
+        if has_C:
+            # dual objective <b,y> + <C,Y> + b0 (MPMP.jl:1030-1034)
+            for bi, sh in enumerate(shapes):
+                _, _, Yn = new_bstates[bi]
+                valid = data[bi]["valid"]
+                percl = None
+                for l in range(sh.L):
+                    dd = jax.vmap(
+                        lambda Cj, Yj: xf_sum(
+                            xf_mul(Cj, Yj).reshape((-1,)), axis=0),
+                        in_axes=1, out_axes=1,
+                    )(data[bi]["C"][l], Yn[l])
+                    percl = dd if percl is None else xf_add(percl, dd)
+                d_obj = xf_add(d_obj, allsum(XF(percl.limbs * valid[None, :])))
         if b0 is not None:
             p_obj = xf_add(p_obj, b0)
             d_obj = xf_add(d_obj, b0)
         ok_all = jax.lax.psum((~ok).astype(jnp.int32), "cluster") == 0
+        ok_inv_all = jax.lax.psum((~ok_inv).astype(jnp.int32), "cluster") == 0
+        ok_schur_all = (
+            jax.lax.psum((~ok_schur).astype(jnp.int32), "cluster") == 0
+        )
 
         # feasibility errors (MPMP.jl:1037-1062): max-abs over residuals.
         # P is masked to zero on padded clusters; d is exactly zero there
@@ -605,15 +698,18 @@ def make_hetero_step(
             d_err=d_err,
             alpha_p=alpha_p,
             alpha_d=alpha_d,
-            ok=ok_all,
+            ok=ok_all & ok_inv_all & ok_schur_all,
+            ok_inv=ok_inv_all,
+            ok_schur=ok_schur_all,
         )
         return (tuple(new_bstates), y_new), diag
 
     # ---- sharding specs ----
-    data_specs, state_spec = hetero_specs(shapes)
+    data_specs, state_spec = hetero_specs(shapes, has_C=has_C)
     rep = P()
     diag_spec = dict(mu=rep, p_obj=rep, d_obj=rep, gap=rep, P_err=rep,
-                     p_err=rep, d_err=rep, alpha_p=rep, alpha_d=rep, ok=rep)
+                     p_err=rep, d_err=rep, alpha_p=rep, alpha_d=rep,
+                     ok=rep, ok_inv=rep, ok_schur=rep)
     sharded = shard_map(
         step_spmd,
         mesh=mesh,
@@ -624,6 +720,28 @@ def make_hetero_step(
     return jax.jit(sharded)
 
 
+def scatter_bundle_state(problem: SDPProblem, shapes, owners, state):
+    """Scatter bundled (x, X, Y) + y back into the packed problem layout:
+    x (total_dim_S, 1), block-diag X/Y lists, y (n_y, 1)."""
+    info = problem.info
+    k = problem.b.k
+    bstates, y = state
+    x_np = np.zeros((k, info.total_dim_S, 1), dtype=problem.b.dtype)
+    X_bd: List[Any] = [None] * info.J
+    Y_bd: List[Any] = [None] * info.J
+    for bi, js in enumerate(owners):
+        xb = np.asarray(bstates[bi][0].limbs)  # (k, J_pad, dim_S, 1)
+        Xs = [np.asarray(Xl.limbs) for Xl in bstates[bi][1]]
+        Ys = [np.asarray(Yl.limbs) for Yl in bstates[bi][2]]
+        for slot, j in enumerate(js):
+            x_np[:, info.x_indices[j]:info.x_indices[j + 1]] = xb[:, slot]
+            X_bd[j] = [XF(jnp.asarray(Xs[l][:, slot]))
+                       for l in range(len(Xs))]
+            Y_bd[j] = [XF(jnp.asarray(Ys[l][:, slot]))
+                       for l in range(len(Ys))]
+    return XF(jnp.asarray(x_np)), X_bd, Y_bd, XF(np.asarray(y.limbs))
+
+
 def solve_hetero_sharded(
     problem: SDPProblem,
     mesh: Mesh,
@@ -632,36 +750,83 @@ def solve_hetero_sharded(
     verbose: bool = False,
 ):
     """Convenience driver: bundle a packed problem, run the sharded step to
-    convergence by duality gap (host-checked each iteration), return
-    (y, p_obj, d_obj, mu, iterations)."""
-    from clrs_tpu.core.solver import SolverConfig
+    convergence (host-checked each iteration), with the same degradation
+    ladders as the core solver (sticky Cholesky->LU for X^-1 and for S/Q,
+    MPMP.jl:762-801/1429-1441).  Returns a core-solver-compatible
+    SolveResult (x, y untransformed to user coordinates).
+    """
+    import dataclasses
+    import time as _time
+
+    from clrs_tpu.core.solver import SolveResult, SolverConfig
+    from clrs_tpu.ops.xfloat import xf_div
 
     cfg = cfg or SolverConfig()
     n_dev = mesh.devices.size
     shapes, data, owners = bundles_from_problem(problem, n_dev)
     k = problem.b.k
     dtype = problem.b.dtype
+    has_C = problem.C_blocks is not None
     bstates, y = initial_bundle_state(
         shapes, cfg.omega_p, cfg.omega_d, k, dtype, problem.info.n_y)
-    step = make_hetero_step(shapes, mesh, problem.b, cfg, b0=problem.b0)
-    data_specs, state_spec = hetero_specs(shapes)
+
+    def build_step(c):
+        return make_hetero_step(shapes, mesh, problem.b, c,
+                                b0=problem.b0, has_C=has_C)
+
+    step = build_step(cfg)
+    data_specs, state_spec = hetero_specs(shapes, has_C=has_C)
     data = globalize(tuple(data), data_specs, mesh)
     state = globalize((bstates, y), state_spec, mesh)
     pd_feas = False
     it = 0
     gap = np.inf
-    best = (np.inf, state, None)  # (merit, state, diag) — stall guard:
-    # at k limbs the reference's 1e-30 feasibility contract may be beyond
-    # the precision floor, so keep the best iterate like the core solver
+    t0 = _time.time()
+    # stall guard: at k limbs the reference's 1e-30 feasibility contract
+    # may be beyond the precision floor, so keep the best iterate like the
+    # core solver.  best diag/state start as None — only ever dereferenced
+    # after at least one finite-merit iteration recorded them.
+    best = (np.inf, None, None, None)  # (merit, state, diag, history row)
     stall = 0
-    for it in range(1, maxiterations + 1):
+    history: List[Dict[str, float]] = []
+    converged = False
+    status = "max_iterations"
+    while it < maxiterations:
+        it += 1
+        prev_state = state
         state, diag = step(tuple(data), state, jnp.bool_(pd_feas))
+        # sticky degradation ladders (rebuild the jitted step; retry the
+        # same iteration from the pre-step state)
+        if not bool(np.asarray(diag["ok_inv"])) and not cfg.use_lu_inverse:
+            if verbose:
+                print("X^-1 Cholesky failed — switching to LU inverse")
+            cfg = dataclasses.replace(cfg, use_lu_inverse=True)
+            step = build_step(cfg)
+            state = prev_state
+            it -= 1
+            continue
+        if not bool(np.asarray(diag["ok_schur"])) and not cfg.use_lu_schur:
+            if verbose:
+                print("Schur Cholesky failed — switching to LU for S and Q")
+            cfg = dataclasses.replace(cfg, use_lu_schur=True)
+            step = build_step(cfg)
+            state = prev_state
+            it -= 1
+            continue
         po = float(np.asarray(diag["p_obj"]))
         do = float(np.asarray(diag["d_obj"]))
         gap = float(np.asarray(diag["gap"]))
         primal_err = max(float(np.asarray(diag["P_err"])),
                          float(np.asarray(diag["p_err"])))
         dual_err = float(np.asarray(diag["d_err"]))
+        history.append(dict(
+            iter=it, time=_time.time() - t0,
+            mu=float(np.asarray(diag["mu"])), p_obj=po, d_obj=do, gap=gap,
+            P_err=float(np.asarray(diag["P_err"])),
+            p_err=float(np.asarray(diag["p_err"])), d_err=dual_err,
+            alpha_p=float(np.asarray(diag["alpha_p"])),
+            alpha_d=float(np.asarray(diag["alpha_d"])),
+        ))
         # feasibility-locked steps once both residuals vanish
         # (the reference's terminate/pd_feas logic, MPMP.jl:1147-1173)
         pd_feas = (primal_err < cfg.primal_error_threshold
@@ -670,7 +835,7 @@ def solve_hetero_sharded(
         if not np.isfinite(merit):
             merit = np.inf
         if merit < best[0]:
-            best = (merit, state, diag)
+            best = (merit, state, diag, history[-1])
             stall = 0
         else:
             stall += cfg.blowup_weight if merit > best[0] * cfg.blowup_factor else 1
@@ -679,9 +844,38 @@ def solve_hetero_sharded(
                   f"p={po:.12f} d={do:.12f} gap={gap:.2e} "
                   f"Perr={primal_err:.1e} derr={dual_err:.1e}")
         if pd_feas and gap < cfg.duality_gap_threshold:
+            converged = True
+            status = "optimal"
             break
         if stall >= cfg.stall_patience or not bool(np.asarray(diag["ok"])):
-            state, diag = best[1], best[2]
-            gap = float(np.asarray(diag["gap"]))
+            status = ("stalled" if stall >= cfg.stall_patience
+                      else "numerical_failure")
+            if best[1] is not None:
+                state, diag = best[1], best[2]
+                gap = float(np.asarray(diag["gap"]))
             break
-    return state, dict(gap=gap, iterations=it, diag=diag)
+
+    row = None
+    if status in ("stalled", "numerical_failure") and best[3] is not None:
+        row = best[3]
+
+    # scatter back to packed layout and untransform to user coordinates
+    # (solver.py:1040-1046 analogue)
+    x, X_bd, Y_bd, y_out = scatter_bundle_state(problem, shapes, owners, state)
+    if problem.x_sigma is not None:
+        x = xf_div(x, problem.x_sigma)
+    if problem.y_R_inv is not None:
+        y_out = xf_matmul(problem.y_R_inv, y_out)
+    if row is None:
+        row = history[-1] if history else None
+    return SolveResult(
+        x=x, X=X_bd, y=y_out, Y=Y_bd, P=None, p=None, d=None,
+        dual_gap=gap,
+        primal_objective=row["p_obj"] if row else float("nan"),
+        dual_objective=row["d_obj"] if row else float("nan"),
+        time_total=_time.time() - t0,
+        iterations=it,
+        converged=converged,
+        status=status,
+        history=history,
+    )

@@ -143,7 +143,8 @@ def solve_intra_sharded(
     pd_feas = False
     gap = np.inf
     it = 0
-    best = (np.inf, state, None)
+    best = (np.inf, None, None)  # (merit, state, diag); only dereferenced
+    # after a finite-merit iteration recorded them
     stall = 0
     diag = None
     for it in range(1, maxiterations + 1):
@@ -172,7 +173,8 @@ def solve_intra_sharded(
         if pd_feas and gap < cfg.duality_gap_threshold:
             break
         if stall >= cfg.stall_patience or not bool(np.asarray(diag["ok"])):
-            state, diag = best[1], best[2]
-            gap = float(np.asarray(diag["gap"]))
+            if best[1] is not None:
+                state, diag = best[1], best[2]
+                gap = float(np.asarray(diag["gap"]))
             break
     return state, dict(gap=gap, iterations=it, diag=diag)

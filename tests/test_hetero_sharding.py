@@ -112,11 +112,45 @@ def test_hetero_converges(delsarte_problem):
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False,
                          duality_gap_threshold=1e-12)
     mesh = make_cluster_mesh(min(8, len(jax.devices())))
-    state, out = solve_hetero_sharded(p, mesh, maxiterations=150, cfg=cfg)
-    assert out["gap"] < 1e-9, out
-    po = float(np.asarray(out["diag"]["p_obj"]))
+    out = solve_hetero_sharded(p, mesh, maxiterations=150, cfg=cfg)
+    assert out.dual_gap < 1e-9, out.status
+    po = out.primal_objective
 
     res = S.solverank1sdp(
         problem=p, omega_p=100.0, omega_d=100.0, maxiterations=150,
         verbose=False)
     assert abs(po - res.primal_objective) < 1e-6 * max(1.0, abs(po))
+    # the untransformed user-coordinate solutions agree too
+    y_h = np.asarray(out.y.to_float64()).ravel()
+    y_g = np.asarray(res.y.to_float64()).ravel()
+    np.testing.assert_allclose(y_h, y_g, rtol=1e-6, atol=1e-8)
+    x_h = np.asarray(out.x.to_float64()).ravel()
+    x_g = np.asarray(res.x.to_float64()).ravel()
+    scale = max(1.0, np.max(np.abs(x_g)))
+    np.testing.assert_allclose(x_h, x_g, rtol=0, atol=1e-5 * scale)
+
+
+def test_hetero_nonzero_C():
+    """C != 0 + b0 through the sharded path (MPMP.jl:589-592, 1031-1034):
+    same analytic LP-as-SDP as test_solver_small.test_nonzero_C_objective —
+    optimum 2.3 (+ b0), with <C,Y> carried in the dual objective."""
+    import clrs_tpu.core.solver as S
+    from clrs_tpu.core.blockinfo import get_block_info
+    from clrs_tpu.core.problem import pack_constraints
+    from clrs_tpu.parallel.hetero import solve_hetero_sharded
+
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    A = [[[np.asarray(v, dtype=object).reshape(-1)] for v in vs]]
+    H = [[[1.0], [1.0]]]
+    cons = [(A, np.asarray([[1.0], [1.0]], dtype=object),
+             np.asarray([2.0, 3.0], dtype=object), H)]
+    C = [[np.array([[0.2, 0.0], [0.0, 0.3]], dtype=object)]]
+    p = pack_constraints(cons, [1.0], info=get_block_info(cons), C=C, b0=10.0)
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+    mesh = make_cluster_mesh(min(8, len(jax.devices())))
+    out = solve_hetero_sharded(p, mesh, maxiterations=200, cfg=cfg)
+    assert out.converged, out.status
+    assert abs(out.primal_objective - 12.3) < 1e-9
+    assert abs(out.dual_objective - 12.3) < 1e-9
+    x = np.asarray(out.x.to_float64()).ravel()
+    assert abs(x[0] - 0.7) < 1e-7 and abs(x[1] - 0.3) < 1e-7
