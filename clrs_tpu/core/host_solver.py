@@ -1,0 +1,745 @@
+"""High-precision host IPM: the 512-bit-equivalent solve path.
+
+Same algorithm as core/solver.py (the reference's solverank1sdp,
+MPMP.jl:595-1025), executed on the host through the native k-limb kernels
+(core/hostxf.py / native/xfkern.cpp) instead of XLA.  Purpose: the
+reference's DEFAULT operating regime is 512-bit arithmetic
+(MPMP.jl:17, examples/SpherePacking.jl:29-31) with the simultaneous
+contract gap < 1e-15 AND errors < 1e-30 (MPMP.jl:607-609); that needs
+k ~ 10 f64 limbs, where XLA compile cost is prohibitive (>114 GB compiler
+RSS unrolled; pathological runtime loop-ified).  This path has no
+compiler in the loop: problem sizes of the reference's applications are
+tiny (dim_S <= ~10^2), so a k=10 iteration takes seconds, not the mpmath
+oracle's minute.
+
+All math mirrors core/solver.py phase for phase (which itself re-derives
+MPMP.jl; file:line citations there).  Trajectories are validated against
+the XLA solver at k<=5 in tests/test_host_solver.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from clrs_tpu.core.blockinfo import BlockInfo, pair_list
+from clrs_tpu.core.hostxf import (
+    HXF,
+    hxf_dot,
+    hxf_from_xf,
+    hxf_inverse_lu,
+    hxf_matmul,
+    hxf_min_eig_sym,
+    hxf_spd_inverse,
+    hxf_sum,
+    hxf_sym,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host problem container
+# ---------------------------------------------------------------------------
+
+
+class HostProblem:
+    """Packed problem data as HXF arrays (host mirror of SDPProblem)."""
+
+    def __init__(self, problem=None) -> None:
+        """Convert a packed SDPProblem (core/problem.py) to host arrays.
+        (Prefer from_pack_data for the all-host path — it never touches
+        jax, so no device backend is initialized.)"""
+        if problem is None:
+            return
+        info: BlockInfo = problem.info
+        self.info = info
+        self.k = problem.b.k
+        self.Vs = [
+            [hxf_from_xf(problem.clusters[j].Vs[l]) for l in range(info.L[j])]
+            for j in range(info.J)
+        ]
+        self.Hs = [
+            [hxf_from_xf(problem.clusters[j].Hs[l]) for l in range(info.L[j])]
+            for j in range(info.J)
+        ]
+        self.B = [hxf_from_xf(problem.clusters[j].B) for j in range(info.J)]
+        self.c = [hxf_from_xf(problem.clusters[j].c) for j in range(info.J)]
+        self.b = hxf_from_xf(problem.b)
+        self.b0 = hxf_from_xf(problem.b0)
+        self.C_blocks = None
+        if problem.C_blocks is not None:
+            self.C_blocks = [
+                [hxf_from_xf(Cb) for Cb in Cj] for Cj in problem.C_blocks
+            ]
+        self.x_sigma = (
+            hxf_from_xf(problem.x_sigma) if problem.x_sigma is not None else None
+        )
+        self.y_R_inv = (
+            hxf_from_xf(problem.y_R_inv) if problem.y_R_inv is not None else None
+        )
+        self.y_R = hxf_from_xf(problem.y_R) if problem.y_R is not None else None
+
+    @classmethod
+    def from_pack_data(cls, data: Dict[str, Any], k: int) -> "HostProblem":
+        """Build from core.problem.prepare_pack_data output (mpmath object
+        arrays) at k limbs — the pure-host path, no jax import."""
+        self = cls()
+        info: BlockInfo = data["info"]
+        self.info = info
+        self.k = k
+        self.Vs = []
+        self.Hs = []
+        self.B = []
+        self.c = []
+        for j in range(info.J):
+            Vs, Hs, B, c = data["clusters"][j]
+            self.Vs.append([HXF.from_mp(V, k=k) for V in Vs])
+            self.Hs.append([HXF.from_mp(H, k=k) for H in Hs])
+            self.B.append(HXF.from_mp(np.asarray(B, dtype=object), k=k))
+            self.c.append(
+                HXF.from_mp(np.asarray(c, dtype=object).reshape(-1, 1), k=k)
+            )
+        self.b = HXF.from_mp(data["b"], k=k)
+        self.b0 = HXF.from_mp(data["b0"], k=k)
+        self.C_blocks = None
+        if data["C"] is not None:
+            self.C_blocks = [
+                [HXF.from_mp(Cb, k=k) for Cb in Cj] for Cj in data["C"]
+            ]
+        self.x_sigma = HXF.from_mp(data["sigma"], k=k)
+        self.y_R_inv = (
+            HXF.from_mp(data["y_R_inv"], k=k)
+            if data["y_R_inv"] is not None else None
+        )
+        self.y_R = (
+            HXF.from_mp(data["y_R"], k=k) if data["y_R"] is not None else None
+        )
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Kernels (host mirrors of core/kernels.py; same index conventions)
+# ---------------------------------------------------------------------------
+
+
+def compute_pairings_h(Z: HXF, V: HXF, m: int) -> HXF:
+    """P[r, t1, s, t2] = V[:,t1]^T Z[r·δ:(r+1)δ, s·δ:(s+1)δ] V[:,t2]
+    (kernels.compute_pairings / MPMP.jl:1272-1318)."""
+    delta, T = V.shape
+    Zb = Z.reshape((m, delta, m, delta))
+    Zflat = Zb.reshape((m * delta * m, delta))
+    ZV = hxf_matmul(Zflat, V).reshape((m, delta, m, T))
+    ZVt = ZV.transpose(1, 0, 2, 3).reshape((delta, m * m * T))
+    P = hxf_matmul(V.T, ZVt).reshape((T, m, m, T))
+    return P.transpose(1, 0, 2, 3)  # (m, T, m, T)
+
+
+def pairing_diag_h(P: HXF, m: int) -> HXF:
+    """A_Y[r, s, t] = P[r, t, s, t] (MPMP.jl:1320-1330)."""
+    d = np.diagonal(P.limbs, axis1=2, axis2=4)  # (k, m, m, T)
+    return HXF(np.ascontiguousarray(d))
+
+
+def _sum_axis(a: HXF, axis: int) -> HXF:
+    """Sum an HXF along one axis by sequential k-limb adds (axis lengths
+    here are small: rank slots)."""
+    n = a.shape[axis]
+    parts = [a[tuple(slice(None) if i != axis else t for i in range(a.ndim))]
+             for t in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def schur_block_contribution_h(
+    PX: HXF, PY: HXF, H: HXF, m: int, K: int, rmax: int
+) -> HXF:
+    """One (j, l) block's Schur contribution (kernels.py:91-135, entry
+    formula MPMP.jl:1373-1396)."""
+    pairs = pair_list(m)
+    T = K * rmax
+    HH = (H.reshape((T, 1)) * H.reshape((1, T))).scale2(0.25)
+    k = PX.k
+    npairs = len(pairs)
+    S = np.zeros((k, npairs * K, npairs * K), dtype=np.float64)
+    for pi, (r1, s1) in enumerate(pairs):
+        for pj, (r2, s2) in enumerate(pairs):
+            a1 = PX[s1, :, r2, :]
+            b1 = PY[s2, :, r1, :].T
+            a2 = PX[r1, :, r2, :]
+            b2 = PY[s2, :, s1, :].T
+            a3 = PX[s1, :, s2, :]
+            b3 = PY[r2, :, r1, :].T
+            a4 = PX[r1, :, s2, :]
+            b4 = PY[r2, :, s1, :].T
+            w = (a1 * b1 + a2 * b2) + (a3 * b3 + a4 * b4)
+            w = w * HH  # (T, T)
+            w4 = w.reshape((K, rmax, K, rmax))
+            blk = _sum_axis(_sum_axis(w4, 3), 1)  # (K, K)
+            S[:, pi * K:(pi + 1) * K, pj * K:(pj + 1) * K] = blk.limbs
+    return HXF(S)
+
+
+def trace_A_from_diag_h(A_Y: HXF, H: HXF, m: int, K: int, rmax: int) -> HXF:
+    """Fast Tr(A_i Y) from diagonal pairings (MPMP.jl:1585-1618).
+    A_Y: (m, m, T) -> (npairs*K,)."""
+    outs = []
+    for (r, s) in pair_list(m):
+        w = A_Y[r, s] * H
+        outs.append(_sum_axis(w.reshape((K, rmax)), 1))
+    return HXF(np.concatenate([o.limbs for o in outs], axis=1))
+
+
+def trace_A_generic_h(
+    Z: HXF, V: HXF, H: HXF, m: int, K: int, rmax: int
+) -> HXF:
+    """Tr(A_i Z) for generic symmetric Z (MPMP.jl:1517-1584)."""
+    delta, T = V.shape
+    Zb = Z.reshape((m, delta, m, delta))
+    outs = []
+    for (r, s) in pair_list(m):
+        Zrs = Zb[r, :, s, :]
+        M = hxf_matmul(Zrs, V)  # (delta, T)
+        D = _sum_axis(V * M, 0)  # (T,)
+        w = (D * H).reshape((K, rmax))
+        outs.append(_sum_axis(w, 1))
+    return HXF(np.concatenate([o.limbs for o in outs], axis=1))
+
+
+def weighted_A_block_h(
+    a_j: HXF, V: HXF, H: HXF, m: int, K: int, rmax: int
+) -> HXF:
+    """sum_i a_i A_i on one (j, l) PSD block (MPMP.jl:1621-1678)."""
+    delta, T = V.shape
+    k = V.k
+    out = np.zeros((k, m * delta, m * delta), dtype=np.float64)
+    for p, (r, s) in enumerate(pair_list(m)):
+        a_rs = a_j[p * K:(p + 1) * K]  # (K,)
+        a_t = HXF(np.repeat(a_rs.limbs, rmax, axis=1))  # (T,)
+        w = a_t * H
+        U = V * w.reshape((1, T))
+        W = hxf_matmul(U, V.T)  # (delta, delta)
+        if r == s:
+            out[:, r * delta:(r + 1) * delta, s * delta:(s + 1) * delta] += (
+                W.limbs
+            )
+        else:
+            Wh = W.scale2(0.5)
+            out[:, r * delta:(r + 1) * delta, s * delta:(s + 1) * delta] += (
+                Wh.limbs
+            )
+            out[:, s * delta:(s + 1) * delta, r * delta:(r + 1) * delta] += (
+                Wh.T.limbs
+            )
+    return HXF(out)
+
+
+# ---------------------------------------------------------------------------
+# Block-diag helpers
+# ---------------------------------------------------------------------------
+
+
+def _bd_scalar_identity(info: BlockInfo, scale: float, k: int):
+    out = []
+    for j in range(info.J):
+        row = []
+        for l in range(info.L[j]):
+            n = info.Y_blocksizes[j][l]
+            e = HXF.eye(n, k=k)
+            row.append(HXF(e.limbs * scale))
+        out.append(row)
+    return out
+
+
+def _bd_dot(a, b) -> HXF:
+    tot = None
+    for aj, bj in zip(a, b):
+        for al, bl in zip(aj, bj):
+            d = hxf_dot(al, bl)
+            tot = d if tot is None else tot + d
+    return tot
+
+
+def _bd_max_abs(P) -> float:
+    e = 0.0
+    for row in P:
+        for blk in row:
+            e = max(e, blk.max_abs())
+    return e
+
+
+# ---------------------------------------------------------------------------
+# The solver
+# ---------------------------------------------------------------------------
+
+
+def solve_host(
+    problem,
+    cfg=None,
+    initial_solutions=(),
+    **kwargs,
+):
+    """Solve a packed SDPProblem on the host at its limb count k.
+
+    `problem` is a core.problem.SDPProblem packed at the target k (use
+    pack_constraints(..., k=10) for the reference's 512-bit regime) or an
+    already-converted HostProblem.  Returns a core.solver.SolveResult.
+    """
+    from clrs_tpu.core.solver import SolveResult, SolverConfig
+
+    if cfg is None:
+        cfg = SolverConfig(**kwargs)
+    hp = problem if isinstance(problem, HostProblem) else HostProblem(problem)
+    info = hp.info
+    k = hp.k
+    Ktot = float(info.total_psd_size)
+    n_y = info.n_y
+
+    use_lu_inverse = cfg.use_lu_inverse
+    use_lu_schur = cfg.use_lu_schur
+
+    # cold start (MPMP.jl:659-686) or warm start
+    if len(initial_solutions) == 4:
+        x, y, X, Y = initial_solutions
+        x = x if isinstance(x, HXF) else hxf_from_xf(x)
+        y = y if isinstance(y, HXF) else hxf_from_xf(y)
+        X = [[b if isinstance(b, HXF) else hxf_from_xf(b) for b in row]
+             for row in X]
+        Y = [[b if isinstance(b, HXF) else hxf_from_xf(b) for b in row]
+             for row in Y]
+        if hp.x_sigma is not None:
+            x = x * hp.x_sigma
+        if hp.y_R is not None:
+            y = hxf_matmul(hp.y_R, y)
+    else:
+        x = HXF.zeros((info.total_dim_S, 1), k=k)
+        y = HXF.zeros((n_y, 1), k=k)
+        X = _bd_scalar_identity(info, cfg.omega_p, k)
+        Y = _bd_scalar_identity(info, cfg.omega_d, k)
+
+    def inv_fn_x(M):
+        return hxf_inverse_lu(M) if use_lu_inverse else hxf_spd_inverse(M)
+
+    def inv_fn_s(M):
+        return hxf_inverse_lu(M) if use_lu_schur else hxf_spd_inverse(M)
+
+    def compute_residual_R(mu_s: HXF, dX=None, dY=None):
+        R = []
+        for j in range(info.J):
+            row = []
+            for l in range(info.L[j]):
+                n = info.Y_blocksizes[j][l]
+                t = HXF.eye(n, k=k) * mu_s - hxf_matmul(X[j][l], Y[j][l])
+                if dX is not None:
+                    t = t - hxf_matmul(dX[j][l], dY[j][l])
+                row.append(t)
+            R.append(row)
+        return R
+
+    def compute_weighted_A(a: HXF):
+        out = []
+        for j in range(info.J):
+            a_j = a[info.x_indices[j]:info.x_indices[j + 1], 0]
+            out.append([
+                weighted_A_block_h(
+                    a_j, hp.Vs[j][l], hp.Hs[j][l], info.m[j],
+                    info.n_samples[j], info.rmax[j][l])
+                for l in range(info.L[j])
+            ])
+        return out
+
+    header = (
+        f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'P-obj':>11} {'D-obj':>11} "
+        f"{'gap':>10} {'P-error':>10} {'p-error':>10} {'d-error':>10} "
+        f"{'alpha_p':>10} {'alpha_d':>10} {'beta':>10}"
+    )
+    if cfg.verbose:
+        print(header)
+
+    t0 = time.time()
+    itn = 0
+    pd_feas = False
+    converged = False
+    status = "max_iterations"
+    gap = np.inf
+    history: List[Dict[str, float]] = []
+    best_merit = np.inf
+    best_state = (x, y, X, Y)
+    best_row = None
+    best_res: Tuple[Any, Any, Any] = (None, None, None)
+    last_res: Tuple[Any, Any, Any] = (None, None, None)
+    stall_count = 0
+    timings: Dict[str, float] = {}
+
+    def timed(name, t_start):
+        if itn > 2:
+            timings[name] = timings.get(name, 0.0) + time.time() - t_start
+        return time.time()
+
+    while itn < cfg.maxiterations:
+        itn += 1
+        tphase = time.time()
+        # ---- mu, R, X^-1 (MPMP.jl:755-801) ----
+        mu = _bd_dot(X, Y) / Ktot
+        mu_p = (HXF.zeros((), k=k) if pd_feas
+                else mu * cfg.beta_infeasible)
+        R = compute_residual_R(mu_p)
+        X_inv = []
+        ok_inv = True
+        for j in range(info.J):
+            row = []
+            for l in range(info.L[j]):
+                inv, okb = inv_fn_x(X[j][l])
+                ok_inv = ok_inv and okb
+                row.append(hxf_sym(inv))
+            X_inv.append(row)
+        if not ok_inv:
+            if not use_lu_inverse:
+                if cfg.verbose:
+                    print("X^-1 Cholesky failed — switching to LU inverse")
+                use_lu_inverse = True
+                itn -= 1
+                continue
+            status = "numerical_failure:Xinv"
+            break
+        tphase = timed("Xinv+R", tphase)
+
+        # ---- decomposition (MPMP.jl:1218-1514) ----
+        ok_s = True
+        S_mat: List[HXF] = []
+        S_inv: List[HXF] = []
+        S_inv_B: List[HXF] = []
+        A_Y: List[List[HXF]] = []
+        Q = HXF.zeros((n_y, n_y), k=k)
+        for j in range(info.J):
+            m, K = info.m[j], info.n_samples[j]
+            dim = info.dim_S[j]
+            S_j = HXF.zeros((dim, dim), k=k)
+            ay = []
+            for l in range(info.L[j]):
+                PX = compute_pairings_h(X_inv[j][l], hp.Vs[j][l], m)
+                PY = compute_pairings_h(Y[j][l], hp.Vs[j][l], m)
+                ay.append(pairing_diag_h(PY, m))
+                S_j = S_j + schur_block_contribution_h(
+                    PX, PY, hp.Hs[j][l], m, K, info.rmax[j][l])
+            S_j = hxf_sym(S_j)
+            Sj_inv, okj = inv_fn_s(S_j)
+            ok_s = ok_s and okj
+            Sj_inv = hxf_sym(Sj_inv)
+            SB = hxf_matmul(Sj_inv, hp.B[j])
+            Q = Q + hxf_matmul(hp.B[j], SB, ta=True)
+            S_mat.append(S_j)
+            S_inv.append(Sj_inv)
+            S_inv_B.append(SB)
+            A_Y.append(ay)
+        Q_inv, okq = inv_fn_s(hxf_sym(Q))
+        ok_s = ok_s and okq
+        if not ok_s:
+            if not use_lu_schur:
+                if cfg.verbose:
+                    print("Schur Cholesky failed — switching to LU for S, Q")
+                use_lu_schur = True
+                itn -= 1
+                continue
+            status = "numerical_failure:schur_factorization"
+            break
+        tphase = timed("decomp", tphase)
+
+        # ---- residuals (MPMP.jl:1107-1144) ----
+        P = compute_weighted_A(x)
+        for j in range(info.J):
+            for l in range(info.L[j]):
+                t = P[j][l] - X[j][l]
+                if hp.C_blocks is not None:
+                    t = t - hp.C_blocks[j][l]
+                P[j][l] = t
+        p = hp.b
+        for j in range(info.J):
+            xj = x[info.x_indices[j]:info.x_indices[j + 1], :]
+            p = p - hxf_matmul(hp.B[j], xj, ta=True)
+        trY_parts = []
+        for j in range(info.J):
+            tr = None
+            for l in range(info.L[j]):
+                t = trace_A_from_diag_h(
+                    A_Y[j][l], hp.Hs[j][l], info.m[j], info.n_samples[j],
+                    info.rmax[j][l])
+                tr = t if tr is None else tr + t
+            trY_parts.append(tr)
+        trY = HXF(np.concatenate([t.limbs for t in trY_parts], axis=1))
+        cs = HXF(np.concatenate([hp.c[j].limbs for j in range(info.J)],
+                                axis=1))
+        By = HXF(np.concatenate(
+            [hxf_matmul(hp.B[j], y).limbs for j in range(info.J)], axis=1))
+        d = (cs - By) - trY.reshape((info.total_dim_S, 1))
+        tphase = timed("residuals", tphase)
+
+        # ---- search direction (MPMP.jl:1682-1824) ----
+        def saddle_solve(rx: HXF, ry: HXF):
+            temp = []
+            acc = None
+            for j in range(info.J):
+                rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
+                tx = hxf_matmul(S_inv[j], rj)
+                temp.append(tx)
+                a = hxf_matmul(hp.B[j], tx, ta=True)
+                acc = a if acc is None else acc + a
+            dy_ = hxf_matmul(Q_inv, ry - acc)
+            dxs_ = [temp[j] + hxf_matmul(S_inv_B[j], dy_)
+                    for j in range(info.J)]
+            return dxs_, dy_
+
+        def saddle_residual(rx: HXF, ry: HXF, dxs_, dy_):
+            rxs = []
+            accb = None
+            for j in range(info.J):
+                rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
+                Sdx = hxf_matmul(S_mat[j], dxs_[j])
+                Bdy = hxf_matmul(hp.B[j], dy_)
+                rxs.append(rj - Sdx + Bdy)
+                a = hxf_matmul(hp.B[j], dxs_[j], ta=True)
+                accb = a if accb is None else accb + a
+            rx_full = HXF(np.concatenate([r_.limbs for r_ in rxs], axis=1))
+            return rx_full, ry - accb
+
+        def direction(Rmat):
+            Z = []
+            for j in range(info.J):
+                Z.append([
+                    hxf_sym(hxf_matmul(
+                        X_inv[j][l],
+                        hxf_matmul(P[j][l], Y[j][l]) - Rmat[j][l]))
+                    for l in range(info.L[j])
+                ])
+            tr_parts = []
+            for j in range(info.J):
+                tr = None
+                for l in range(info.L[j]):
+                    t = trace_A_generic_h(
+                        Z[j][l], hp.Vs[j][l], hp.Hs[j][l], info.m[j],
+                        info.n_samples[j], info.rmax[j][l])
+                    tr = t if tr is None else tr + t
+                tr_parts.append(tr)
+            trZ = HXF(np.concatenate([t.limbs for t in tr_parts], axis=1))
+            rhs_x = -d - trZ.reshape((info.total_dim_S, 1))
+            rhs_y = p
+            dxs, dy = saddle_solve(rhs_x, rhs_y)
+            for _ in range(cfg.refine_steps):
+                rx_full, ry_full = saddle_residual(rhs_x, rhs_y, dxs, dy)
+                ddxs, ddy = saddle_solve(rx_full, ry_full)
+                dxs = [dxs[j] + ddxs[j] for j in range(info.J)]
+                dy = dy + ddy
+            dx = HXF(np.concatenate([d_.limbs for d_ in dxs], axis=1))
+            dX = compute_weighted_A(dx)
+            dY = []
+            for j in range(info.J):
+                dX[j] = [dX[j][l] + P[j][l] for l in range(info.L[j])]
+                dY.append([
+                    hxf_sym(hxf_matmul(
+                        X_inv[j][l],
+                        Rmat[j][l] - hxf_matmul(dX[j][l], Y[j][l])))
+                    for l in range(info.L[j])
+                ])
+            return dx, dX, dy, dY
+
+        dx, dX, dy, dY = direction(R)
+        tphase = timed("predictor_dir", tphase)
+
+        # ---- corrector (MPMP.jl:832-858) ----
+        XdX = [[X[j][l] + dX[j][l] for l in range(info.L[j])]
+               for j in range(info.J)]
+        YdY = [[Y[j][l] + dY[j][l] for l in range(info.L[j])]
+               for j in range(info.J)]
+        r_val = _bd_dot(XdX, YdY) / (mu * Ktot)
+        one = HXF.from_float(1.0, k=k)
+        beta = r_val * r_val if bool(r_val < one) else r_val
+        if pd_feas:
+            bF = HXF.from_float(cfg.beta_feasible, k=k)
+            beta_c = bF if bool(beta < bF) else (
+                beta if bool(beta < one) else one)
+        else:
+            bI = HXF.from_float(cfg.beta_infeasible, k=k)
+            beta_c = bI if bool(beta < bI) else beta
+        mu_c = beta_c * mu
+        R2 = compute_residual_R(mu_c, dX, dY)
+        tphase = timed("corrector_R", tphase)
+        dx, dX, dy, dY = direction(R2)
+        tphase = timed("corrector_dir", tphase)
+
+        # ---- step lengths (MPMP.jl:1829-1898) ----
+        lam_p = np.inf
+        lam_d = np.inf
+        ok_a = True
+        for j in range(info.J):
+            for l in range(info.L[j]):
+                lp, okp = hxf_min_eig_sym(X[j][l], dX[j][l])
+                ld, okd = hxf_min_eig_sym(Y[j][l], dY[j][l])
+                ok_a = ok_a and okp and okd
+                lam_p = min(lam_p, lp)
+                lam_d = min(lam_d, ld)
+        if not ok_a:
+            status = "numerical_failure:steplength"
+            break
+
+        def alpha_of(lam):
+            if lam > -cfg.gamma:
+                return 1.0
+            return min(1.0, -cfg.gamma / min(lam, -1e-300))
+
+        alpha_p = alpha_of(lam_p)
+        alpha_d = alpha_of(lam_d)
+        if pd_feas:
+            alpha_p = alpha_d = min(alpha_p, alpha_d)
+        tphase = timed("alpha", tphase)
+
+        # ---- update + metrics (MPMP.jl:877-887, 1027-1092) ----
+        ap = HXF.from_float(alpha_p, k=k)
+        ad = HXF.from_float(alpha_d, k=k)
+        x = x + dx * ap
+        y = y + dy * ad
+        X = [[X[j][l] + dX[j][l] * ap for l in range(info.L[j])]
+             for j in range(info.J)]
+        Y = [[Y[j][l] + dY[j][l] * ad for l in range(info.L[j])]
+             for j in range(info.J)]
+        p_obj = hxf_dot(cs.reshape((info.total_dim_S, 1)), x) + hp.b0
+        d_obj = hxf_dot(hp.b, y) + hp.b0
+        if hp.C_blocks is not None:
+            d_obj = d_obj + _bd_dot(hp.C_blocks, Y)
+        gap_num = (p_obj - d_obj).abs()
+        gap_den = p_obj + d_obj
+        gd = max(1.0, gap_den.abs().max_abs())
+        gap = gap_num.max_abs() / gd
+        P_err = _bd_max_abs(P)
+        p_err = p.max_abs()
+        d_err = d.max_abs()
+        primal_err = max(P_err, p_err)
+        dual_err = d_err
+        tphase = timed("update", tphase)
+
+        row = dict(
+            iter=itn, time=time.time() - t0,
+            mu=float(mu.limbs[0]),
+            p_obj=float(sum(p_obj.limbs[:3])),
+            d_obj=float(sum(d_obj.limbs[:3])),
+            gap=gap, P_err=P_err, p_err=p_err, d_err=d_err,
+            alpha_p=alpha_p, alpha_d=alpha_d,
+            beta=float(beta_c.limbs[0]),
+        )
+        history.append(row)
+        last_res = (P, p, d)
+        if cfg.verbose:
+            print(
+                f"{itn:5d} {row['time']:8.1f} {row['mu']:11.3e} "
+                f"{row['p_obj']:11.3e} {row['d_obj']:11.3e} {gap:10.2e} "
+                f"{P_err:10.2e} {p_err:10.2e} {d_err:10.2e} "
+                f"{alpha_p:10.2e} {alpha_d:10.2e} {row['beta']:10.2e}"
+            )
+
+        # stall/explosion guard (core/solver.py analogue)
+        merit = max(gap, primal_err, dual_err)
+        if not np.isfinite(merit):
+            merit = np.inf
+        if merit < best_merit:
+            best_merit = merit
+            best_state = (x, y, X, Y)
+            best_row = row
+            best_res = (P, p, d)
+            stall_count = 0
+        else:
+            exploded = merit > best_merit * cfg.blowup_factor
+            stall_count += cfg.blowup_weight if exploded else 1
+        if stall_count >= cfg.stall_patience:
+            status = "stalled"
+            x, y, X, Y = best_state
+            if cfg.verbose:
+                print(
+                    f"no progress for {cfg.stall_patience} iterations — "
+                    "returning best iterate"
+                )
+            break
+
+        primal_feas = primal_err < cfg.primal_error_threshold
+        dual_feas = dual_err < cfg.dual_error_threshold
+        pd_feas = primal_feas and dual_feas
+        if cfg.need_primal_feasible and primal_feas:
+            status = "primal_feasible"
+            converged = True
+            break
+        if cfg.need_dual_feasible and dual_feas:
+            status = "dual_feasible"
+            converged = True
+            break
+        if primal_feas and dual_feas and gap < cfg.duality_gap_threshold:
+            status = "optimal"
+            converged = True
+            break
+
+    if (
+        status.startswith("numerical_failure") or status == "stalled"
+    ) and best_row is not None:
+        x, y, X, Y = best_state
+        gap = best_row["gap"]
+
+    time_total = time.time() - t0
+    if cfg.verbose:
+        print(f"status: {status}  iterations: {itn}  time: {time_total:.2f}s")
+        if timings:
+            print("time per phase (excl. first 2 iterations):")
+            for name, tval in sorted(timings.items(), key=lambda kv: -kv[1]):
+                print(f"  {name:>14}: {tval:9.3f}s")
+
+    report_row = history[-1] if history else None
+    res_out = last_res
+    if (
+        status.startswith("numerical_failure") or status == "stalled"
+    ) and best_row is not None:
+        report_row = best_row
+        res_out = best_res
+
+    if hp.x_sigma is not None:
+        x = x / hp.x_sigma
+    if hp.y_R_inv is not None:
+        y = hxf_matmul(hp.y_R_inv, y)
+    return SolveResult(
+        x=x, X=X, y=y, Y=Y,
+        P=res_out[0], p=res_out[1], d=res_out[2],
+        dual_gap=gap,
+        primal_objective=report_row["p_obj"] if report_row else float("nan"),
+        dual_objective=report_row["d_obj"] if report_row else float("nan"),
+        time_total=time_total,
+        iterations=itn,
+        converged=converged,
+        status=status,
+        history=history,
+        timings=timings,
+    )
+
+
+def solverank1sdp_host(
+    constraints,
+    b,
+    blockinfo: Optional[BlockInfo] = None,
+    C=None,
+    b0=0,
+    precision_k: int = 10,
+    setup_prec_bits: Optional[int] = None,
+    **kwargs,
+):
+    """Reference-style entry for the host high-precision path:
+    pack at precision_k limbs (mpmath setup precision raised to cover
+    53*k + margin bits) and solve with solve_host.  Never imports jax."""
+    import mpmath
+
+    from clrs_tpu.core.problem import prepare_pack_data
+
+    need = setup_prec_bits or (53 * precision_k + 150)
+    old = mpmath.mp.prec
+    try:
+        mpmath.mp.prec = max(old, need)
+        data = prepare_pack_data(constraints, b, info=blockinfo, C=C, b0=b0)
+    finally:
+        mpmath.mp.prec = old
+    hp = HostProblem.from_pack_data(data, precision_k)
+    return solve_host(hp, **kwargs)

@@ -180,7 +180,13 @@ class HXF:
 
     @property
     def T(self) -> "HXF":
-        axes = tuple(range(self.ndim - 1, -1, -1))
+        return self.transpose()
+
+    def transpose(self, *axes) -> "HXF":
+        if not axes:
+            axes = tuple(range(self.ndim - 1, -1, -1))
+        elif len(axes) == 1 and isinstance(axes[0], (tuple, list)):
+            axes = tuple(axes[0])
         return HXF(
             np.ascontiguousarray(
                 np.transpose(self.limbs, (0,) + tuple(a + 1 for a in axes))

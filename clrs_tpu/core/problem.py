@@ -84,24 +84,19 @@ class SDPProblem:
         )
 
 
-def pack_constraints(
+def prepare_pack_data(
     constraints: Sequence,
     b,
     info: Optional[BlockInfo] = None,
     C=None,
     b0=0,
-    k: int = 2,
-    dtype=np.float64,
     equilibrate: bool = True,
     orthonormalize: bool = True,
     orthonormalize_B: bool = True,
-) -> SDPProblem:
-    """Pack reference-format constraint tuples (A, B, c, H) into an
-    SDPProblem.  Inputs may be mpmath scalars, floats or numpy arrays.
-
-    This is the bridge between the host front-end (prepareabc) and the
-    device solver — the analogue of the reference passing `abc` into
-    solverank1sdp (MPMP.jl:585).
+):
+    """Exact (mpmath object-level) packing + preconditioning, shared by the
+    device path (pack_constraints -> XF) and the host high-precision path
+    (core/host_solver.py -> HXF).  Returns a dict of object arrays.
 
     equilibrate: rescale each constraint matrix A_(r,s,k) -> A/sigma_k with
     sigma_k = sum_l sum_rnk |H| ||v||^2 (its trace scale), compensating in
@@ -201,8 +196,8 @@ def pack_constraints(
             for kk in range(K):
                 for rnk in range(rmax):
                     Hvec[kk * rmax + rnk] = Hvec[kk * rmax + rnk] / sig_k[kk]
-            Vs.append(xf_from_mp(Vmats[l], k=k, dtype=dtype))
-            Hs.append(xf_from_mp(Hvec, k=k, dtype=dtype))
+            Vs.append(Vmats[l])
+            Hs.append(Hvec)
         # scale B and c rows (tuple order (r, s<=r, k), k fastest)
         B = np.asarray(B, dtype=object).copy()
         c = np.asarray(c, dtype=object).reshape(-1).copy()
@@ -279,30 +274,77 @@ def pack_constraints(
             clusters[j][2] = Bj
             r0 += info.dim_S[j]
 
+    C_obj = None
+    if C is not None and not (np.isscalar(C) and C == 0):
+        C_obj = [
+            [np.asarray(Cb, dtype=object) for Cb in Cj] for Cj in C
+        ]
+    return dict(
+        info=info,
+        clusters=clusters,  # [ (Vs tuple, Hs tuple, B obj, c obj) ] per j
+        b=np.asarray(b_mp, dtype=object).reshape(-1, 1),
+        sigma=np.concatenate(sigmas).reshape(-1, 1),
+        y_R_inv=y_R_inv,
+        y_R=y_R_mat if y_R_inv is not None else None,
+        C=C_obj,
+        b0=np.asarray(b0, dtype=object).reshape(()),
+    )
+
+
+def pack_constraints(
+    constraints: Sequence,
+    b,
+    info: Optional[BlockInfo] = None,
+    C=None,
+    b0=0,
+    k: int = 2,
+    dtype=np.float64,
+    equilibrate: bool = True,
+    orthonormalize: bool = True,
+    orthonormalize_B: bool = True,
+) -> SDPProblem:
+    """Pack reference-format constraint tuples (A, B, c, H) into an
+    SDPProblem (device XF arrays).  Inputs may be mpmath scalars, floats
+    or numpy arrays.
+
+    This is the bridge between the host front-end (prepareabc) and the
+    device solver — the analogue of the reference passing `abc` into
+    solverank1sdp (MPMP.jl:585).  See prepare_pack_data for the exact
+    preconditioning performed.
+    """
+    data = prepare_pack_data(
+        constraints, b, info=info, C=C, b0=b0,
+        equilibrate=equilibrate, orthonormalize=orthonormalize,
+        orthonormalize_B=orthonormalize_B,
+    )
+    info = data["info"]
     packed = []
     for j in range(info.J):
-        Vs, Hs, B, c = clusters[j]
+        Vs, Hs, B, c = data["clusters"][j]
+        Vx = tuple(xf_from_mp(V, k=k, dtype=dtype) for V in Vs)
+        Hx = tuple(xf_from_mp(H, k=k, dtype=dtype) for H in Hs)
         Bx = xf_from_mp(np.asarray(B, dtype=object), k=k, dtype=dtype)
         cx = xf_from_mp(np.asarray(c, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
-        packed.append(ClusterData(Vs, Hs, Bx, cx))
-    clusters = packed
-    bx = xf_from_mp(np.asarray(b_mp, dtype=object).reshape(-1, 1), k=k, dtype=dtype)
-    sigma_all = xf_from_mp(
-        np.concatenate(sigmas).reshape(-1, 1), k=k, dtype=dtype
-    )
+        packed.append(ClusterData(Vx, Hx, Bx, cx))
+    bx = xf_from_mp(data["b"], k=k, dtype=dtype)
+    sigma_all = xf_from_mp(data["sigma"], k=k, dtype=dtype)
     y_R_inv_x = (
-        xf_from_mp(y_R_inv, k=k, dtype=dtype) if y_R_inv is not None else None
+        xf_from_mp(data["y_R_inv"], k=k, dtype=dtype)
+        if data["y_R_inv"] is not None else None
     )
-    y_R_x = xf_from_mp(y_R_mat, k=k, dtype=dtype) if y_R_inv is not None else None
+    y_R_x = (
+        xf_from_mp(data["y_R"], k=k, dtype=dtype)
+        if data["y_R"] is not None else None
+    )
     C_blocks = None
-    if C is not None and not (np.isscalar(C) and C == 0):
+    if data["C"] is not None:
         C_blocks = [
-            [xf_from_mp(np.asarray(Cb, dtype=object), k=k, dtype=dtype) for Cb in Cj]
-            for Cj in C
+            [xf_from_mp(Cb, k=k, dtype=dtype) for Cb in Cj]
+            for Cj in data["C"]
         ]
-    b0x = xf_from_mp(np.asarray(b0, dtype=object).reshape(()), k=k, dtype=dtype)
+    b0x = xf_from_mp(data["b0"], k=k, dtype=dtype)
     return SDPProblem(
-        tuple(clusters), bx, C_blocks, b0x, info, sigma_all, y_R_inv_x, y_R_x
+        tuple(packed), bx, C_blocks, b0x, info, sigma_all, y_R_inv_x, y_R_x
     )
 
 
