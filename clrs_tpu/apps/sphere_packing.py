@@ -63,11 +63,17 @@ def nsphere_packing_2point(
     write_only: bool = False,
     reorder: bool = True,
     return_problem: bool = False,
+    backend: str = "xla",
     **solver_kwargs,
 ):
     """Compute the N-species sphere-packing bound (reference
     examples/SpherePacking.jl:28-114).  Returns (bound, SolveResult) where
     bound = -M* (the quantity compared to 0.813 for NaCl radii).
+
+    backend="host" routes the solve through the native high-precision
+    host IPM (core/host_solver.py) — the path for the reference's 512-bit
+    default regime (precision_k ~ 10 f64 limbs); "xla" uses the device
+    solver.
     """
     old_prec = mpmath.mp.prec
     mpmath.mp.prec = max(prec, mpmath.mp.prec)
@@ -200,14 +206,26 @@ def nsphere_packing_2point(
             constraints = [constraints[i] for i in ordering]
             blockinfo = get_block_info(constraints)
 
-        res = solverank1sdp(
-            constraints,
-            b,
-            blockinfo,
-            omega_p=omega,
-            omega_d=omega,
-            **solver_kwargs,
-        )
+        if backend == "host":
+            from clrs_tpu.core.host_solver import solverank1sdp_host
+
+            res = solverank1sdp_host(
+                constraints,
+                b,
+                blockinfo,
+                omega_p=omega,
+                omega_d=omega,
+                **solver_kwargs,
+            )
+        else:
+            res = solverank1sdp(
+                constraints,
+                b,
+                blockinfo,
+                omega_p=omega,
+                omega_d=omega,
+                **solver_kwargs,
+            )
         bound = -res.dual_objective
         if return_problem:
             return bound, res, (constraints, b, blockinfo)
