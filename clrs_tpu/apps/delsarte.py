@@ -28,19 +28,11 @@ from clrs_tpu.models.prepare import prepareabc
 from clrs_tpu.models.samples import create_sample_points_chebyshev
 
 
-def delsarte_lp_bound(
-    n: int,
-    d: int,
-    costheta="0.5",
-    prec: int = 256,
-    return_problem: bool = False,
-    **solver_kwargs,
-):
-    """LP upper bound for spherical codes with min angle arccos(costheta)
-    in S^{n-1}, using Gegenbauer polynomials up to degree 2d.
-
-    Returns (bound, SolveResult) — bound = 1 + sum y_k.
-    """
+def build_delsarte_constraints(n: int, d: int, costheta="0.5",
+                               prec: int = 256):
+    """Assemble the Delsarte LP-bound constraint data (no solve):
+    returns (constraints, b, blockinfo).  Shared by the XLA and host
+    backends, the bench, and the driver entries."""
     old_prec = mpmath.mp.prec
     mpmath.mp.prec = max(prec, mpmath.mp.prec)
     try:
@@ -74,10 +66,35 @@ def delsarte_lp_bound(
 
         b = [-1.0] * deg
         info = get_block_info(cons)
-        res = solverank1sdp(cons, b, info, **solver_kwargs)
-        bound = 1.0 - res.dual_objective
-        if return_problem:
-            return bound, res, (cons, b, info)
-        return bound, res
+        return cons, b, info
     finally:
         mpmath.mp.prec = old_prec
+
+
+def delsarte_lp_bound(
+    n: int,
+    d: int,
+    costheta="0.5",
+    prec: int = 256,
+    return_problem: bool = False,
+    backend: str = "xla",
+    **solver_kwargs,
+):
+    """LP upper bound for spherical codes with min angle arccos(costheta)
+    in S^{n-1}, using Gegenbauer polynomials up to degree 2d.
+
+    Returns (bound, SolveResult) — bound = 1 + sum y_k.
+    backend="host" routes through the native high-precision host IPM
+    (core/host_solver.py) for k >= 9-class limb counts.
+    """
+    cons, b, info = build_delsarte_constraints(n, d, costheta, prec)
+    if backend == "host":
+        from clrs_tpu.core.host_solver import solverank1sdp_host
+
+        res = solverank1sdp_host(cons, b, info, **solver_kwargs)
+    else:
+        res = solverank1sdp(cons, b, info, **solver_kwargs)
+    bound = 1.0 - res.dual_objective
+    if return_problem:
+        return bound, res, (cons, b, info)
+    return bound, res

@@ -169,18 +169,33 @@ def solve_on_device(
     problem,
     cfg: Optional[SolverConfig] = None,
     initial=None,
+    initial_solutions=(),
     chunk: int = 25,
     **kwargs,
 ) -> SolveResult:
     """Solve with the device-resident loop; host touches the device once per
     `chunk` iterations.  Handles the same sticky Cholesky->LU degradation
     ladder as the phase-split driver (recompiling the loop on switch).
+
+    `initial` is an INTERNAL-coordinates state; `initial_solutions` is a
+    user-coordinates (x, y, X, Y) warm start (MPMP.jl:613-614) — the
+    x_sigma / y_R transforms are applied here, as in solverank1sdp.
     """
     import dataclasses
 
     from clrs_tpu.core.solver import compute_duality_gap  # noqa: F401
+    from clrs_tpu.ops.xfloat import xf_mul as _xf_mul
 
     cfg = cfg or SolverConfig(**kwargs)
+    if initial is None and len(initial_solutions) == 4:
+        st = list(initial_solutions)
+        if problem.x_sigma is not None:
+            st[0] = _xf_mul(st[0], problem.x_sigma)
+        if problem.y_R is not None:
+            from clrs_tpu.ops.xfloat import xf_matmul as _xf_matmul
+
+            st[1] = _xf_matmul(problem.y_R, st[1])
+        initial = tuple(st)
     state = initial if initial is not None else initial_state(problem, cfg)
 
     run_chunk, init_carry = make_device_solve(problem, cfg)

@@ -217,3 +217,54 @@ def test_subproc_solve_roundtrip():
     assert res.converged, res.status
     assert abs(res.primal_objective - 0.5) < 1e-12
     assert isinstance(np.asarray(res.y.limbs), np.ndarray)
+
+
+def test_escalation_reaches_host_rung_full_contract():
+    """The two-stage ladder (SURVEY.md §5.3 + round-2 host path): at k=2
+    the Delsarte 2d=6 solve stalls far above the reference's FULL
+    contract (gap<1e-15 AND errors<1e-30); the ladder must hand off to
+    the native host rung and land it."""
+    from clrs_tpu.apps.delsarte import build_delsarte_constraints
+    from clrs_tpu.core.escalate import solve_with_escalation
+
+    cons, b, info = build_delsarte_constraints(8, 3, prec=700)
+    res = solve_with_escalation(
+        cons, b, info, k_ladder=(2,), host_ladder=(6,),
+        omega_p=100.0, omega_d=100.0, maxiterations=300, verbose=False,
+        duality_gap_threshold=1e-15, primal_error_threshold=1e-30,
+        dual_error_threshold=1e-30,
+    )
+    assert res.converged and res.status == "optimal", res.status
+    bound = 1.0 - res.dual_objective
+    assert abs(bound - 240.0) < 1e-9, bound
+    row = res.history[-1]
+    assert row["gap"] < 1e-15
+    assert max(row["P_err"], row["p_err"], row["d_err"]) < 1e-30
+
+
+def test_device_loop_warm_start_user_coords():
+    """solve_on_device(initial_solutions=...) applies the x_sigma / y_R
+    transforms like solverank1sdp (MPMP.jl:613-614 warm start)."""
+    import numpy as np
+
+    from clrs_tpu.core.device_loop import solve_on_device
+    from clrs_tpu.core.problem import pack_constraints
+    from clrs_tpu.core.solver import solverank1sdp
+
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    A = [[[v] for v in vs]]
+    H = [[[1.0], [1.0]]]
+    cons = [(A, np.asarray([[1.0], [2.0]], dtype=object),
+             np.asarray([1.0, 1.0], dtype=object), H)]
+    info = get_block_info(cons)
+    res1 = solverank1sdp(
+        cons, [1.0], info, omega_p=100.0, omega_d=100.0,
+        maxiterations=12, verbose=False)
+    problem = pack_constraints(cons, [1.0], info=info)
+    res2 = solve_on_device(
+        problem, initial_solutions=(res1.x, res1.y, res1.X, res1.Y),
+        omega_p=100.0, omega_d=100.0, maxiterations=100, verbose=False,
+        chunk=20,
+    )
+    assert res2.converged, res2.status
+    assert abs(res2.primal_objective - 0.5) < 1e-9
