@@ -171,7 +171,7 @@ def solve_with_escalation(
             return res
         consider(res)
         escalatable = (
-            res.status.startswith("numerical_failure")
+            res.status.startswith(("numerical_failure", "overflow"))
             or res.status == "stalled"
         )
         if not escalatable:

@@ -771,6 +771,31 @@ def make_fused_step(problem: SDPProblem, cfg: SolverConfig):
 # ---------------------------------------------------------------------------
 
 
+def classify_failure(kind: str, *tensors) -> str:
+    """Distinguish exponent-range overflow from a genuine factorization
+    failure (TODO.md f32 range guard; VERDICT round-1 weak #9).
+
+    With f32 limbs (the TPU numerics) values overflow at 3.4e38 and a
+    Cholesky/LU of an inf/nan matrix reports ok=False exactly like a
+    not-SPD matrix — but the right advice differs: not-SPD escalates the
+    factorization/precision ladder, overflow needs RESCALING (smaller
+    omega, per-tensor pow2 prescale, or f64 limbs).  The reference never
+    faces this: BigFloat's exponent is unbounded (MPMP.jl:17).
+
+    tensors: state pytrees to host-check for finiteness (hi limbs carry
+    the magnitude).  Returns "numerical_failure:<kind>" or
+    "overflow:<kind>".
+    """
+    import jax
+
+    for t in tensors:
+        for leaf in jax.tree_util.tree_leaves(t):
+            arr = np.asarray(getattr(leaf, "limbs", leaf))
+            if not np.all(np.isfinite(arr[0] if arr.ndim else arr)):
+                return f"overflow:{kind}"
+    return f"numerical_failure:{kind}"
+
+
 def initial_state(problem: SDPProblem, cfg: SolverConfig):
     """Cold start (MPMP.jl:659-686)."""
     info = problem.info
@@ -901,6 +926,18 @@ def solverank1sdp(
         pd = jnp.bool_(pd_feas)
         mu, R, X_inv, ok_inv = timed("Xinv+R", phases["mu_R_Xinv"], problem, state, pd)
         if not bool(np.asarray(ok_inv)):
+            # classify first: an f32 exponent-range overflow looks exactly
+            # like "not SPD" to the factorization, but switching to LU
+            # would just hit the same infs — report rescale advice instead
+            status = classify_failure("Xinv", state, mu)
+            if status.startswith("overflow"):
+                if cfg.verbose:
+                    print(
+                        "overflow: rescale — a value exceeded the f32 "
+                        "exponent range (3.4e38); reduce omega, prescale "
+                        "the problem, or use f64 limbs"
+                    )
+                break
             # sticky degradation ladder (MPMP.jl:762-801): Cholesky-based
             # SPD inverse failed -> switch to LU for the rest of the run
             if not cfg.use_lu_inverse:
@@ -915,10 +952,19 @@ def solverank1sdp(
                 phases = make_ipm_phases(problem, cfg)
                 itn -= 1
                 continue
-            status = "numerical_failure:Xinv"
             break
         decomp = timed("decomp", phases["decomp"], problem, X_inv, state[3])
         if not bool(np.asarray(decomp["ok"])):
+            status = classify_failure(
+                "schur_factorization", X_inv, decomp["S_mat"])
+            if status.startswith("overflow"):
+                if cfg.verbose:
+                    print(
+                        "overflow: rescale — a value exceeded the f32 "
+                        "exponent range (3.4e38); reduce omega, prescale "
+                        "the problem, or use f64 limbs"
+                    )
+                break
             # Schur Cholesky failed -> sticky LU (MPMP.jl:1429-1441 note)
             if not cfg.use_lu_schur:
                 if cfg.verbose:
@@ -932,7 +978,6 @@ def solverank1sdp(
                 phases = make_ipm_phases(problem, cfg)
                 itn -= 1
                 continue
-            status = "numerical_failure:schur_factorization"
             break
         P, p, d = timed(
             "residuals", phases["residuals"], problem, state[0], state[2], state[1], decomp["A_Y"]
@@ -951,7 +996,7 @@ def solverank1sdp(
         alpha_p, ok_p = timed("alpha", phases["steplength"], state[2], dX)
         alpha_d, ok_d = timed("alpha", phases["steplength"], state[3], dY)
         if not (bool(np.asarray(ok_p)) and bool(np.asarray(ok_d))):
-            status = "numerical_failure:steplength"
+            status = classify_failure("steplength", dX, dY)
             break
         state, diag = timed(
             "update",
@@ -1039,7 +1084,8 @@ def solverank1sdp(
         jax.profiler.stop_trace()
 
     if (
-        status.startswith("numerical_failure") or status == "stalled"
+        status.startswith(("numerical_failure", "overflow"))
+        or status == "stalled"
     ) and best_row is not None:
         # hand back the best iterate (and its metrics), not the broken one
         state = best_state
@@ -1057,7 +1103,8 @@ def solverank1sdp(
     report_row = history[-1] if history else None
     res_out = last_res
     if (
-        status.startswith("numerical_failure") or status == "stalled"
+        status.startswith(("numerical_failure", "overflow"))
+        or status == "stalled"
     ) and best_row is not None:
         report_row = best_row
         res_out = best_res

@@ -237,3 +237,47 @@ def test_nonzero_C_with_b0_offset():
     assert res.converged, res.status
     assert abs(res.primal_objective - 12.3) < 1e-9
     assert abs(res.dual_objective - 12.3) < 1e-9
+
+
+def test_classify_failure_overflow_vs_spd():
+    """f32 exponent-range overflow is reported distinctly from a genuine
+    not-SPD factorization failure (TODO f32 range guard)."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.core.solver import classify_failure
+    from clrs_tpu.ops.xfloat import XF
+
+    finite = XF(jnp.ones((2, 3, 3)))
+    assert classify_failure("Xinv", [ [finite] ]) == "numerical_failure:Xinv"
+    bad = XF(jnp.full((2, 3, 3), jnp.inf))
+    assert classify_failure("Xinv", [[finite]], [[bad]]) == "overflow:Xinv"
+    nan = XF(jnp.full((2, 3, 3), jnp.nan))
+    assert classify_failure("schur_factorization", [[nan]]) == (
+        "overflow:schur_factorization"
+    )
+
+
+def test_f32_overflow_exits_cleanly():
+    """An f32-limb solve whose iterates overflow the f32 exponent range
+    must exit with a terminal status (overflow:* / stalled / failure),
+    never hang or raise — the guard contract (reference needs none:
+    BigFloat exponent is unbounded, MPMP.jl:17)."""
+    from clrs_tpu.core.problem import pack_constraints
+
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    cons = [make_lp_constraint(vs, [[1.0], [1.0]], [2.0, 3.0])]
+    problem = pack_constraints(
+        cons, [1.0], info=get_block_info(cons), k=2, dtype=np.float32
+    )
+    res = solverank1sdp(
+        problem=problem,
+        omega_p=1e20, omega_d=1e20,  # <X,Y> ~ 1e40 > f32 max
+        maxiterations=60, verbose=False,
+    )
+    assert res.status != "max_iterations" or not res.converged
+    assert res.status in (
+        "overflow:Xinv", "overflow:schur_factorization",
+        "overflow:steplength", "stalled",
+        "numerical_failure:Xinv", "numerical_failure:schur_factorization",
+        "numerical_failure:steplength", "max_iterations",
+    ), res.status
