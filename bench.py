@@ -3,16 +3,20 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Config 1: Delsarte LP bound, dimension 8, polynomial degree 2d=10 —
-single main polynomial cluster + sign clusters (BASELINE.md).  The solve
+Config 1 (BASELINE.json): Delsarte LP bound, dimension 8, polynomial
+degree 2d=10 — single main polynomial cluster + sign clusters.  The solve
 runs in double-double (f64 limbs on CPU, f32 limbs on TPU, where f64 is
 non-IEEE emulation).  We measure steady-state IPM iterations/s with the
-fused one-dispatch-per-iteration step, excluding compile.
+device-resident lax.scan loop (the deployment shape), excluding compile:
+median of 5 timed reps with min/max dispersion on stderr, plus per-phase
+ms/iter (Schur-build+factorization = "decomp") from a short phase-split
+run — the numbers the reference prints per run (MPMP.jl:976-1013).
 
-Baseline: the reference (Julia/Arblib at 512-bit, single process) publishes
-no numbers (SURVEY.md §6); BASELINE.md provisionally pins the reference's
-iteration rate on this config at 2.0 it/s (SDPB-class solvers at 512-bit
-precision on a few-core CPU).  vs_baseline = value / 2.0.
+Baseline: the reference (Julia/Arblib at 512-bit, single process)
+publishes no numbers (SURVEY.md §6) and Julia is not available in this
+container; BASELINE.md provisionally pins its iteration rate on this
+config at 2.0 it/s (SDPB-class 512-bit solvers on a few-core CPU).
+vs_baseline = value / 2.0 and is PROVISIONAL (so labeled in the metric).
 """
 
 import json
@@ -80,7 +84,9 @@ def main():
 
         import clrs_tpu.core.solver as S
 
-        d = int(os.environ.get("CLRS_BENCH_D", "3"))  # 2d = 6 (240-sharp config)
+        # BASELINE.json config 1: 2d=10 (d=5).  CLRS_BENCH_D overrides for
+        # experiments (e.g. d=3 is the 240-sharp 2d=6 config).
+        d = int(os.environ.get("CLRS_BENCH_D", "5"))
         problem, info = build_problem(d, dtype)
         cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
         step = S.make_fused_step(problem, cfg)
@@ -116,30 +122,84 @@ def main():
         scan_jit = jax.jit(scan_steps)
         state = S.initial_state(problem, cfg)
         jax.block_until_ready(scan_jit(problem, state))  # compile + warm
-        reps = 3
-        t0 = time.time()
+        reps = int(os.environ.get("CLRS_BENCH_REPS", "5"))
+        times = []
         for _ in range(reps):
+            t0 = time.time()
             out = scan_jit(problem, S.initial_state(problem, cfg))
             jax.block_until_ready(out)
-        dt = (time.time() - t0) / reps
-        done = n_meas
-        rate = done / dt
+            times.append(time.time() - t0)
+        times.sort()
+        dt = times[len(times) // 2]  # median
+        rate = n_meas / dt
         # health check from the post-scan state
         _, diag = step(problem, out, pd)
         gap = float(np.asarray(diag["gap_hi"]))
         ok = bool(np.asarray(diag["ok"]))
+
+        # per-phase ms/iter from the phase-split driver (the numbers the
+        # reference prints, MPMP.jl:976-1013): 6 timed iterations after a
+        # 2-iteration warmup per phase graph
+        phases = S.make_ipm_phases(problem, cfg)
+        st = S.initial_state(problem, cfg)
+        phase_t = {}
+        for it in range(8):
+            timed = it >= 2
+
+            def tick(name, fn, *args):
+                tp = time.time()
+                o = fn(*args)
+                jax.block_until_ready(o)
+                if timed:
+                    phase_t[name] = phase_t.get(name, 0.0) + time.time() - tp
+                return o
+
+            mu, R, X_inv, _ = tick("Xinv+R", phases["mu_R_Xinv"], problem, st, pd)
+            decomp = tick("decomp", phases["decomp"], problem, X_inv, st[3])
+            P, p, dr = tick(
+                "residuals", phases["residuals"], problem, st[0], st[2], st[1],
+                decomp["A_Y"],
+            )
+            dx, dX, dy, dY = tick(
+                "direction", phases["direction"], problem, P, p, dr, R, X_inv,
+                st[3], decomp,
+            )
+            beta_c, R2 = tick(
+                "corrector_R", phases["corrector_R"], st[2], st[3], dX, dY, mu, pd
+            )
+            dx, dX, dy, dY = tick(
+                "direction", phases["direction"], problem, P, p, dr, R2, X_inv,
+                st[3], decomp,
+            )
+            ap, _ = tick("alpha", phases["steplength"], st[2], dX)
+            ad, _ = tick("alpha", phases["steplength"], st[3], dY)
+            st, _diag2 = tick(
+                "update", phases["update"], problem, st, dx, dy, dX, dY, ap, ad,
+                pd, P, p, dr, mu, beta_c,
+            )
+        phase_ms = {kk: 1000.0 * v / 6 for kk, v in phase_t.items()}
+
         result = {
             "metric": (
-                f"IPM iterations/s, Delsarte dim-8 2d={2*d}, double-double "
-                f"({platform}, {np.dtype(dtype).name} limbs)"
+                f"IPM iterations/s, Delsarte dim-8 2d={2*d} (BASELINE "
+                f"config 1), double-double ({platform}, "
+                f"{np.dtype(dtype).name} limbs); vs_baseline provisional "
+                f"(reference publishes no numbers)"
             ),
             "value": round(rate, 3),
             "unit": "iterations/s",
             "vs_baseline": round(rate / BASELINE_ITERS_PER_S, 3),
         }
         sys.stderr.write(
-            f"[bench] platform={platform} d={d} iters={done} dt={dt:.2f}s "
-            f"gap={gap:.2e} ok={ok} total_wall={time.time()-t_start:.1f}s\n"
+            f"[bench] platform={platform} d={d} iters={n_meas} "
+            f"median_dt={dt:.3f}s min={times[0]:.3f}s max={times[-1]:.3f}s "
+            f"reps={reps} gap={gap:.2e} ok={ok} "
+            f"total_wall={time.time()-t_start:.1f}s\n"
+        )
+        sys.stderr.write(
+            "[bench] phase ms/iter (phase-split driver): "
+            + " ".join(f"{kk}={v:.2f}" for kk, v in sorted(phase_ms.items()))
+            + f" | schur+chol(decomp)={phase_ms.get('decomp', 0):.2f}\n"
         )
     except Exception:
         traceback.print_exc()

@@ -64,6 +64,7 @@ def nsphere_packing_2point(
     reorder: bool = True,
     return_problem: bool = False,
     backend: str = "xla",
+    build_only: bool = False,
     **solver_kwargs,
 ):
     """Compute the N-species sphere-packing bound (reference
@@ -205,6 +206,9 @@ def nsphere_packing_2point(
             ordering = [2, 5, 4, 6, 3, 0, 1]
             constraints = [constraints[i] for i in ordering]
             blockinfo = get_block_info(constraints)
+
+        if build_only:
+            return constraints, b, blockinfo
 
         if backend == "host":
             from clrs_tpu.core.host_solver import solverank1sdp_host

@@ -2,15 +2,23 @@
 
 Prints one JSON line per config with steady-state IPM iterations/s on the
 current backend (CPU: f64 limbs; TPU: f32 limbs), measured like bench.py
-(lax.scan of full fused iterations, compile excluded).
+(lax.scan of full fused iterations, compile excluded), plus per-phase
+ms/iter (Schur-build+factorization = "decomp") from the phase-split
+driver — the numbers the reference prints per run (MPMP.jl:976-1013).
 
   python scripts/bench_suite.py [config ...]   # default: 1 3 4
 
-Configs:
+Configs (BASELINE.json):
   1  Delsarte LP dim 8, 2d=10 (single main cluster + sign clusters)
-  2  sphere packing 2d=16 (k=3 limbs; CPU-oriented, slow compile)
+  2  sphere packing 2d=30 (larger Schur: dim_S=93 main cluster, 32/30
+     PSD blocks — the config where the matmul path choice matters)
   3  multi-cluster PMP: Delsarte 2d=6 (1 + 6 clusters; same as bench.py)
   4  multivariate solvempmp path: polynomial minimization on the simplex
+  5  extended-precision multi-device: sphere packing 2d=16 (k=3) through
+     the hetero bundle-sharded step on all visible devices (run under
+     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
+     for the virtual-mesh variant)
+  6  sphere packing 2d=16 (k=3 limbs, single device; round-1 config)
 """
 import json
 import os
@@ -22,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3):
+def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3, phases_too=True):
     import jax
     import jax.numpy as jnp
 
@@ -42,12 +50,50 @@ def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3):
     scan_jit = jax.jit(scan_steps)
     state0 = S.initial_state(problem, cfg)
     jax.block_until_ready(scan_jit(problem, state0))  # compile
-    t0 = time.time()
+    times = []
     for _ in range(reps):
+        t0 = time.time()
         out = jax.block_until_ready(scan_jit(problem, S.initial_state(problem, cfg)))
-    dt = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     _, diag = step(problem, out, jnp.bool_(False))
-    return n_meas / dt, float(np.asarray(diag["gap_hi"])), bool(np.asarray(diag["ok"]))
+    rate = n_meas / dt
+    gap = float(np.asarray(diag["gap_hi"]))
+    ok = bool(np.asarray(diag["ok"]))
+    phase_ms = {}
+    if phases_too:
+        phases = S.make_ipm_phases(problem, cfg)
+        st = S.initial_state(problem, cfg)
+        pd = jnp.bool_(False)
+        acc = {}
+        for it in range(8):
+            timed = it >= 2
+
+            def tick(name, fn, *args):
+                tp = time.time()
+                o = fn(*args)
+                jax.block_until_ready(o)
+                if timed:
+                    acc[name] = acc.get(name, 0.0) + time.time() - tp
+                return o
+
+            mu, R, X_inv, _ = tick("Xinv+R", phases["mu_R_Xinv"], problem, st, pd)
+            decomp = tick("decomp", phases["decomp"], problem, X_inv, st[3])
+            P, p, dr = tick("residuals", phases["residuals"], problem,
+                            st[0], st[2], st[1], decomp["A_Y"])
+            dx, dX, dy, dY = tick("direction", phases["direction"], problem,
+                                  P, p, dr, R, X_inv, st[3], decomp)
+            beta_c, R2 = tick("corrector_R", phases["corrector_R"],
+                              st[2], st[3], dX, dY, mu, pd)
+            dx, dX, dy, dY = tick("direction", phases["direction"], problem,
+                                  P, p, dr, R2, X_inv, st[3], decomp)
+            ap, _ = tick("alpha", phases["steplength"], st[2], dX)
+            ad, _ = tick("alpha", phases["steplength"], st[3], dY)
+            st, _d2 = tick("update", phases["update"], problem, st, dx, dy,
+                           dX, dY, ap, ad, pd, P, p, dr, mu, beta_c)
+        phase_ms = {kk: round(1000.0 * v / 6, 3) for kk, v in acc.items()}
+    return rate, gap, ok, phase_ms
 
 
 def config_1():
@@ -59,20 +105,71 @@ def config_1():
     return problem, dict(omega_p=100.0, omega_d=100.0), "Delsarte dim-8 2d=10"
 
 
-def config_2():
+def _sphere_packing_problem(d: int, k: int, dtype, prec=320):
+    import jax
     import mpmath
     from clrs_tpu.apps.sphere_packing import nsphere_packing_2point
     from clrs_tpu.core.problem import pack_constraints
 
-    mpmath.mp.prec = 512
+    mpmath.mp.prec = prec
     r = [mpmath.mpf(1), mpmath.sqrt(mpmath.mpf(2)) - 1]
-    _, _, (constraints, b, blockinfo) = nsphere_packing_2point(
-        3, 8, r, 2, precision_k=3, maxiterations=1, verbose=False,
-        return_problem=True,
+    constraints, b, blockinfo = nsphere_packing_2point(
+        3, d, r, 2, prec=prec, build_only=True,
     )
-    problem = pack_constraints(constraints, b, info=blockinfo, k=3,
-                               dtype=np.float64)
+    return pack_constraints(constraints, b, info=blockinfo, k=k, dtype=dtype)
+
+
+def config_2():
+    """BASELINE config 2: sphere packing 2d=30 — the larger-Schur single
+    main cluster (dim_S=93, PSD blocks 32/30; three dim-31 companions)."""
+    import jax
+
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    problem = _sphere_packing_problem(15, 2, dtype)
+    return problem, dict(omega_p=100.0, omega_d=100.0), "sphere packing 2d=30 (dd)"
+
+
+def config_6():
+    problem = _sphere_packing_problem(8, 3, np.float64, prec=512)
     return problem, dict(omega_p=100.0, omega_d=100.0), "sphere packing 2d=16 (k=3)"
+
+
+def config_5():
+    """Extended-precision multi-device: hetero bundle-sharded step rate on
+    all visible devices (the >=2-hosts stand-in: virtual CPU mesh or a
+    real multi-chip mesh; the collectives are identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    import clrs_tpu.core.solver as S
+    from clrs_tpu.parallel.hetero import (
+        bundles_from_problem, initial_bundle_state, make_cluster_mesh,
+        make_hetero_step,
+    )
+
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    k = 3
+    problem = _sphere_packing_problem(8, k, dtype, prec=512)
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+    n_dev = len(jax.devices())
+    mesh = make_cluster_mesh(n_dev)
+    shapes, data, owners = bundles_from_problem(problem, n_dev)
+    bstates, y = initial_bundle_state(
+        shapes, cfg.omega_p, cfg.omega_d, k, dtype, problem.info.n_y)
+    step = make_hetero_step(shapes, mesh, problem.b, cfg, b0=problem.b0)
+    state = (bstates, y)
+    state, diag = step(tuple(data), state, jnp.bool_(False))  # compile
+    import jax as _j
+    _j.block_until_ready(state)
+    n_meas, t0 = 20, time.time()
+    for _ in range(n_meas):
+        state, diag = step(tuple(data), state, jnp.bool_(False))
+    _j.block_until_ready(state)
+    dt = time.time() - t0
+    return None, dict(
+        rate=n_meas / dt, gap=float(np.asarray(diag["gap"])),
+        ok=bool(np.asarray(diag["ok"])), n_devices=n_dev,
+    ), f"hetero-sharded sphere packing 2d=16 (k=3, {n_dev} devices)"
 
 
 def config_3():
@@ -117,16 +214,31 @@ def config_4():
 def main():
     import jax
 
+    if os.environ.get("CLRS_FORCE_CPU"):
+        # the axon TPU plugin overrides JAX_PLATFORMS (CLAUDE.md); this is
+        # the reliable way to pin the suite to the host CPU
+        jax.config.update("jax_platforms", "cpu")
+
     which = [int(a) for a in sys.argv[1:]] or [1, 3, 4]
-    builders = {1: config_1, 2: config_2, 3: config_3, 4: config_4}
+    builders = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
+                5: config_5, 6: config_6}
     platform = jax.default_backend()
     for c in which:
         try:
             problem, kw, name = builders[c]()
-            rate, gap, ok = measure_rate(problem, kw)
+            if problem is None:  # config measured itself (hetero step)
+                print(json.dumps(dict(
+                    config=c, metric=f"IPM iterations/s, {name}",
+                    value=round(kw["rate"], 2), unit="iterations/s",
+                    platform=platform, n_devices=kw["n_devices"],
+                    ok=kw["ok"],
+                )))
+                continue
+            rate, gap, ok, phase_ms = measure_rate(problem, kw)
             print(json.dumps(dict(
                 config=c, metric=f"IPM iterations/s, {name}", value=round(rate, 2),
                 unit="iterations/s", platform=platform, gap_after_20=gap, ok=ok,
+                phase_ms_per_iter=phase_ms,
             )))
         except Exception as e:  # noqa: BLE001
             print(json.dumps(dict(config=c, error=repr(e)[:200])))

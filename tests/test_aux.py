@@ -268,3 +268,28 @@ def test_device_loop_warm_start_user_coords():
     )
     assert res2.converged, res2.status
     assert abs(res2.primal_objective - 0.5) < 1e-9
+
+
+def test_solvempmp_host_backend_full_contract():
+    """solvempmp(backend='host') reaches the reference's FULL default
+    contract on the univariate PMP — the same solve that needs loosened
+    thresholds at dd (k=2) lands gap<1e-15 AND errors<1e-30 at k=6."""
+    from clrs_tpu.models.mpmp import solvempmp
+    from clrs_tpu.models.poly import MPoly, poly_matrix
+    from clrs_tpu.models.samples import create_sample_points_chebyshev
+
+    x = MPoly.var(0, 1)
+    one = MPoly.constant(1, 1)
+    M = [[poly_matrix([[-x]]), poly_matrix([[one]])]]
+    G = [[one, x * (one - x)]]
+    q = [[one, x]]
+    pts = [create_sample_points_chebyshev(2, 0, 1)]
+    res = solvempmp(
+        M, G, q, pts, [2], [-1.0], backend="host", precision_k=6,
+        omega_p=100.0, omega_d=100.0, maxiterations=150, verbose=False,
+    )
+    assert res.converged and res.status == "optimal", res.status
+    assert abs(res.dual_objective - (-1.0)) < 1e-12
+    row = res.history[-1]
+    assert row["gap"] < 1e-15
+    assert max(row["P_err"], row["p_err"], row["d_err"]) < 1e-30
