@@ -860,15 +860,23 @@ def solve_hetero_sharded(
         row = best[3]
 
     # scatter back to packed layout and untransform to user coordinates
-    # (solver.py:1040-1046 analogue)
-    x, X_bd, Y_bd, y_out = scatter_bundle_state(problem, shapes, owners, state)
-    if problem.x_sigma is not None:
-        x = xf_div(x, problem.x_sigma)
+    # (solver.py:1040-1046 analogue).  In a REAL multi-process run the
+    # cluster-sharded leaves are not fully addressable per process, so
+    # only the replicated y is materialized; the bundled sharded state is
+    # attached as res.raw_state for continued distributed use.
+    if jax.process_count() == 1:
+        x, X_bd, Y_bd, y_out = scatter_bundle_state(
+            problem, shapes, owners, state)
+        if problem.x_sigma is not None:
+            x = xf_div(x, problem.x_sigma)
+    else:
+        x, X_bd, Y_bd = None, None, None
+        y_out = XF(np.asarray(state[1].limbs))
     if problem.y_R_inv is not None:
         y_out = xf_matmul(problem.y_R_inv, y_out)
     if row is None:
         row = history[-1] if history else None
-    return SolveResult(
+    res = SolveResult(
         x=x, X=X_bd, y=y_out, Y=Y_bd, P=None, p=None, d=None,
         dual_gap=gap,
         primal_objective=row["p_obj"] if row else float("nan"),
@@ -879,3 +887,5 @@ def solve_hetero_sharded(
         status=status,
         history=history,
     )
+    res.raw_state = state  # bundled sharded iterate (multi-process reuse)
+    return res

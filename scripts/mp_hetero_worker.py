@@ -43,12 +43,12 @@ assert len(jax.devices()) == 4 * nproc, jax.devices()
 problem, info = bench.build_problem(d=2, dtype=np.float64, k=2)
 cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
 maxiter = int(os.environ.get("CLRS_MP_ITERS", "25"))
-state, out = solve_hetero_multihost(problem, maxiterations=maxiter, cfg=cfg)
-(_bstates, y) = state
+res = solve_hetero_multihost(problem, maxiterations=maxiter, cfg=cfg)
+(_bstates, y) = res.raw_state
 y_np = np.asarray(jax.device_get(y.limbs))
 md5 = hashlib.md5(y_np.tobytes()).hexdigest()
 print(
-    f"MPRESULT pid={pid} gap={out['gap']:.17e} iters={out['iterations']} "
+    f"MPRESULT pid={pid} gap={res.dual_gap:.17e} iters={res.iterations} "
     f"md5={md5}",
     flush=True,
 )

@@ -51,5 +51,5 @@ def test_solve_hetero_multihost_runs():
     problem, info = bench.build_problem(d=3, dtype=np.float64, k=2)
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False,
                          duality_gap_threshold=1e-12)
-    state, out = solve_hetero_multihost(problem, maxiterations=150, cfg=cfg)
-    assert out["gap"] < 1e-9, out
+    res = solve_hetero_multihost(problem, maxiterations=150, cfg=cfg)
+    assert res.dual_gap < 1e-9, res.status

@@ -94,10 +94,10 @@ def test_two_process_matches_single_process(two_process_result):
     assert len(jax.devices()) == 8  # conftest's virtual mesh
     problem, info = bench.build_problem(d=2, dtype=np.float64, k=2)
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
-    state, out = solve_hetero_multihost(problem, maxiterations=ITERS, cfg=cfg)
-    (_bstates, y) = state
+    res = solve_hetero_multihost(problem, maxiterations=ITERS, cfg=cfg)
+    (_bstates, y) = res.raw_state
     md5 = hashlib.md5(np.asarray(jax.device_get(y.limbs)).tobytes()).hexdigest()
 
     r0 = _parse(two_process_result[0])
     assert r0["md5"] == md5
-    assert r0["gap"] == out["gap"]
+    assert r0["gap"] == res.dual_gap
