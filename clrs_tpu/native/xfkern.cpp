@@ -372,20 +372,29 @@ template <int K>
 static void t_gemm(int64_t m, int64_t p, int64_t n, const double *A,
                    const double *B, double *C, int ta, int tb) {
   const int64_t asz = m * p, bsz = p * n, csz = m * n;
+  // JB output columns per pass: the K-limb mul/add cascades are serial
+  // dependency chains, so interleaving JB independent columns fills the
+  // superscalar pipeline (x gathered once per (i,t)).
+  constexpr int JB = 4;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < m; ++i) {
-    double acc[K], x[K], y[K], pr[K];
-    for (int64_t j = 0; j < n; ++j) {
-      sc_set_d<K>(0.0, acc);
+    double acc[JB][K], x[K], y[JB][K], pr[JB][K];
+    for (int64_t j0 = 0; j0 < n; j0 += JB) {
+      const int jb = (int)((n - j0) < JB ? (n - j0) : JB);
+      for (int b = 0; b < jb; ++b) sc_set_d<K>(0.0, acc[b]);
       for (int64_t t = 0; t < p; ++t) {
         const int64_t ia = ta ? (t * m + i) : (i * p + t);
-        const int64_t ib = tb ? (j * p + t) : (t * n + j);
         gather<K>(A, asz, ia, x);
-        gather<K>(B, bsz, ib, y);
-        sc_mul<K>(x, y, pr);
-        sc_add<K>(acc, pr, acc);
+        for (int b = 0; b < jb; ++b) {
+          const int64_t j = j0 + b;
+          const int64_t ib = tb ? (j * p + t) : (t * n + j);
+          gather<K>(B, bsz, ib, y[b]);
+        }
+        for (int b = 0; b < jb; ++b) sc_mul<K>(x, y[b], pr[b]);
+        for (int b = 0; b < jb; ++b) sc_add<K>(acc[b], pr[b], acc[b]);
       }
-      scatter<K>(C, csz, i * n + j, acc);
+      for (int b = 0; b < jb; ++b)
+        scatter<K>(C, csz, i * n + (j0 + b), acc[b]);
     }
   }
 }
