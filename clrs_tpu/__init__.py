@@ -75,6 +75,8 @@ try:  # noqa: SIM105
     )
     from clrs_tpu.models.prepare import prepareabc  # noqa: E402
     from clrs_tpu.models.mpmp import solvempmp  # noqa: E402
+    from clrs_tpu.core.host_solver import solverank1sdp_host  # noqa: E402
+    from clrs_tpu.core.escalate import solve_with_escalation  # noqa: E402
 except ImportError:  # pragma: no cover - only during bootstrap
     pass
 
@@ -85,6 +87,8 @@ __all__ = [
     "BlockInfo",
     "get_block_info",
     "solverank1sdp",
+    "solverank1sdp_host",
+    "solve_with_escalation",
     "SolverConfig",
     "solvempmp",
     "prepareabc",
