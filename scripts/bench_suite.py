@@ -121,17 +121,69 @@ def _sphere_packing_problem(d: int, k: int, dtype, prec=320):
 
 def config_2():
     """BASELINE config 2: sphere packing 2d=30 — the larger-Schur single
-    main cluster (dim_S=93, PSD blocks 32/30; three dim-31 companions)."""
+    main cluster (dim_S=93, PSD blocks 32/30; three dim-31 companions).
+    CLRS_SUITE_PALLAS=1 / CLRS_SUITE_MXU=1 select the fused-Pallas /
+    integer-MXU matmul paths (the decision input for their defaults)."""
     import jax
 
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
     problem = _sphere_packing_problem(15, 2, dtype)
-    return problem, dict(omega_p=100.0, omega_d=100.0), "sphere packing 2d=30 (dd)"
+    kw = dict(omega_p=100.0, omega_d=100.0)
+    label = "sphere packing 2d=30 (dd)"
+    if os.environ.get("CLRS_SUITE_PALLAS"):
+        kw["use_pallas_matmul"] = True
+        label += " +pallas-matmul"
+    if os.environ.get("CLRS_SUITE_MXU"):
+        kw["use_mxu_matmul"] = True
+        label += " +mxu-matmul"
+    return problem, kw, label
 
 
 def config_6():
     problem = _sphere_packing_problem(8, 3, np.float64, prec=512)
     return problem, dict(omega_p=100.0, omega_d=100.0), "sphere packing 2d=16 (k=3)"
+
+
+def config_7():
+    """Config 2 through the intra-cluster GSPMD sharding (parallel/intra.py)
+    over all visible devices: the single-huge-cluster scaling axis
+    (SURVEY.md §5.7).  T axes are rank-padded to divide the mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    import clrs_tpu.core.solver as S
+    from clrs_tpu.parallel.intra import (
+        make_chip_mesh, pad_info_ranks, shard_problem, shard_state,
+    )
+    import mpmath
+    from clrs_tpu.apps.sphere_packing import nsphere_packing_2point
+    from clrs_tpu.core.problem import pack_constraints
+
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    n_dev = len(jax.devices())
+    mesh = make_chip_mesh(n_dev)
+    mpmath.mp.prec = 320
+    r = [mpmath.mpf(1), mpmath.sqrt(mpmath.mpf(2)) - 1]
+    constraints, b, blockinfo = nsphere_packing_2point(
+        3, 15, r, 2, prec=320, build_only=True,
+    )
+    info = pad_info_ranks(blockinfo, n_dev)
+    problem = pack_constraints(constraints, b, info=info, k=2, dtype=dtype)
+    cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
+    sp = shard_problem(problem, mesh)
+    state = shard_state(S.initial_state(problem, cfg), mesh)
+    step = S.make_fused_step(problem, cfg)
+    state, diag = step(sp, state, jnp.bool_(False))  # compile
+    jax.block_until_ready(state)
+    n_meas, t0 = 20, time.time()
+    for _ in range(n_meas):
+        state, diag = step(sp, state, jnp.bool_(False))
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+    return None, dict(
+        rate=n_meas / dt, gap=float(np.asarray(diag["gap_hi"])),
+        ok=bool(np.asarray(diag["ok"])), n_devices=n_dev,
+    ), f"intra-sharded sphere packing 2d=30 (dd, {n_dev} devices)"
 
 
 def config_5():
@@ -221,7 +273,7 @@ def main():
 
     which = [int(a) for a in sys.argv[1:]] or [1, 3, 4]
     builders = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
-                5: config_5, 6: config_6}
+                5: config_5, 6: config_6, 7: config_7}
     platform = jax.default_backend()
     for c in which:
         try:
