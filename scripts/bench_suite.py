@@ -200,7 +200,8 @@ def config_5():
     )
 
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
-    k = 3
+    k = int(os.environ.get("CLRS_SUITE_C5_K", "2"))  # BASELINE.json names
+    # double-double for this config; higher k via env for experiments
     problem = _sphere_packing_problem(8, k, dtype, prec=512)
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False)
     n_dev = len(jax.devices())
@@ -221,7 +222,7 @@ def config_5():
     return None, dict(
         rate=n_meas / dt, gap=float(np.asarray(diag["gap"])),
         ok=bool(np.asarray(diag["ok"])), n_devices=n_dev,
-    ), f"hetero-sharded sphere packing 2d=16 (k=3, {n_dev} devices)"
+    ), f"hetero-sharded sphere packing 2d=16 (k={k}, {n_dev} devices)"
 
 
 def config_3():
