@@ -114,15 +114,23 @@ class SolverConfig:
     # Pallas SPD-inverse kernel (ops/pallas_dd.py): whole batched
     # Cholesky+solve+W^T W per block in ONE kernel, VMEM-resident — removes
     # the per-column launch latency of the XLA fori_loop factorization
-    use_pallas_matmul: bool = False  # dd (k=2) pairing/weighted-A/trace
-    # products through the fused Pallas outer-product matmul
-    # (ops/pallas_xf.py): whole contraction VMEM-resident, no EFT-barrier
-    # fusion breaks — 1.2-1.6x over the XLA expansion path on TPU v5e for
-    # blocks >= ~24^3 (tiny blocks auto-fallback to the XLA path)
+    use_pallas_matmul: Optional[bool] = None  # dd (k=2) pairing/
+    # weighted-A/trace products through the fused Pallas outer-product
+    # matmul (ops/pallas_xf.py): whole contraction VMEM-resident, no
+    # EFT-barrier fusion breaks.  Default None = AUTO: on for the TPU
+    # backend (measured round 2 on v5e: +16% it/s on BASELINE config 2,
+    # sphere packing 2d=30; small products auto-fall back to the XLA path
+    # inside the dispatch, so small-block configs are unchanged), off on
+    # CPU.
 
     @property
     def _matmul_mode(self):
-        return "pallas" if self.use_pallas_matmul else self.use_mxu_matmul
+        use_pallas = self.use_pallas_matmul
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        return "pallas" if use_pallas else self.use_mxu_matmul
 
 
 # ---------------------------------------------------------------------------
