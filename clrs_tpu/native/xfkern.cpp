@@ -583,17 +583,23 @@ static int t_cholesky(int64_t n, const double *A, double *L) {
     int64_t i = j + 1;
 #ifdef XK_HAVE_AVX512
     {
-      __m512d sv[K], xv[K], yv[K], pr[K], iv[K];
-      vbcast_limbs<K>(inv_t, iv);
-      for (; i + 8 <= n; i += 8) {
-        const __m512i rowbase = viota(i * n, n);
+      // rows below the diagonal are independent for fixed j: 8 rows per
+      // lane-group, lane-groups across OpenMP threads
+      const int64_t nblk = (n - i) / 8;
+#pragma omp parallel for schedule(static)
+      for (int64_t bi = 0; bi < nblk; ++bi) {
+        __m512d sv[K], xv[K], yv[K], pr[K], iv[K];
+        vbcast_limbs<K>(inv_t, iv);
+        double yb[K];
+        const int64_t ib = j + 1 + bi * 8;
+        const __m512i rowbase = viota(ib * n, n);
         vgather<K>(A, sz, _mm512_add_epi64(rowbase, _mm512_set1_epi64(j)),
                    sv);
         for (int64_t t2 = 0; t2 < j; ++t2) {
           vgather<K>(L, sz,
                      _mm512_add_epi64(rowbase, _mm512_set1_epi64(t2)), xv);
-          gather<K>(L, sz, j * n + t2, y);
-          vbcast_limbs<K>(y, yv);
+          gather<K>(L, sz, j * n + t2, yb);
+          vbcast_limbs<K>(yb, yv);
           sc_mul<K, __m512d>(xv, yv, pr);
           sc_sub<K, __m512d>(sv, pr, sv);
         }
@@ -601,6 +607,7 @@ static int t_cholesky(int64_t n, const double *A, double *L) {
         vscatter<K>(L, sz, _mm512_add_epi64(rowbase, _mm512_set1_epi64(j)),
                     sv);
       }
+      i += nblk * 8;
     }
 #endif
     for (; i < n; ++i) {
@@ -796,7 +803,7 @@ static int t_lu(int64_t n, const double *A, double *LU, int64_t *perm) {
   const int64_t sz = n * n;
   std::memcpy(LU, A, sizeof(double) * (size_t)(K * sz));
   for (int64_t i = 0; i < n; ++i) perm[i] = i;
-  double x[K], y[K], pr[K], piv[K], ipiv[K];
+  double piv[K], ipiv[K];
   for (int64_t j = 0; j < n; ++j) {
     int64_t pm = j;
     double best = std::fabs(LU[j * n + j]);  // hi limb slab
@@ -823,15 +830,19 @@ static int t_lu(int64_t n, const double *A, double *LU, int64_t *perm) {
     }
     gather<K>(LU, sz, j * n + j, piv);
     sc_recip<K>(piv, ipiv);
+    // trailing rows are independent for fixed j: parallel across rows,
+    // AVX-512 across the (contiguous) trailing columns of each row
+#pragma omp parallel for schedule(static)
     for (int64_t i = j + 1; i < n; ++i) {
-      gather<K>(LU, sz, i * n + j, x);
-      sc_mul<K>(x, ipiv, x);  // multiplier
-      scatter<K>(LU, sz, i * n + j, x);
+      double xr[K], yr[K], prr[K];
+      gather<K>(LU, sz, i * n + j, xr);
+      sc_mul<K>(xr, ipiv, xr);  // multiplier
+      scatter<K>(LU, sz, i * n + j, xr);
       int64_t c = j + 1;
 #ifdef XK_HAVE_AVX512
       {
         __m512d xv[K], yv[K], pv[K], cv[K];
-        vbcast_limbs<K>(x, xv);
+        vbcast_limbs<K>(xr, xv);
         for (; c + 8 <= n; c += 8) {
           vload<K>(LU, sz, j * n + c, yv);
           sc_mul<K, __m512d>(xv, yv, pv);
@@ -842,11 +853,11 @@ static int t_lu(int64_t n, const double *A, double *LU, int64_t *perm) {
       }
 #endif
       for (; c < n; ++c) {
-        gather<K>(LU, sz, j * n + c, y);
-        sc_mul<K>(x, y, pr);
+        gather<K>(LU, sz, j * n + c, yr);
+        sc_mul<K>(xr, yr, prr);
         double cur[K];
         gather<K>(LU, sz, i * n + c, cur);
-        sc_sub<K>(cur, pr, cur);
+        sc_sub<K>(cur, prr, cur);
         scatter<K>(LU, sz, i * n + c, cur);
       }
     }
