@@ -369,7 +369,7 @@ static inline __m512i viota(int64_t start, int64_t stride) {
 #ifdef XK_HAVE_AVX512
 #define XK_ELEMWISE2(SCOP)                                          \
   const int64_t nv = n & ~(int64_t)7;                               \
-  _Pragma("omp parallel for schedule(static)")                      \
+  _Pragma("omp parallel for schedule(static) if (nv >= 2048)")      \
   for (int64_t i0 = 0; i0 < nv; i0 += 8) {                          \
     __m512d xv[K], yv[K], zv[K];                                    \
     vload<K>(a, n, i0, xv);                                         \
@@ -386,7 +386,7 @@ static inline __m512i viota(int64_t start, int64_t stride) {
   }
 #else
 #define XK_ELEMWISE2(SCOP)                                          \
-  _Pragma("omp parallel for schedule(static)")                      \
+  _Pragma("omp parallel for schedule(static) if (n >= 512)")        \
   for (int64_t i = 0; i < n; ++i) {                                 \
     double x[K], y[K], z[K];                                        \
     gather<K>(a, n, i, x);                                          \
@@ -413,7 +413,7 @@ static void t_mul(int64_t n, const double *a, const double *b, double *out) {
 
 template <int K>
 static void t_div(int64_t n, const double *a, const double *b, double *out) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 64)
   for (int64_t i = 0; i < n; ++i) {
     double x[K], y[K], z[K];
     gather<K>(a, n, i, x);
@@ -425,7 +425,7 @@ static void t_div(int64_t n, const double *a, const double *b, double *out) {
 
 template <int K>
 static void t_sqrt(int64_t n, const double *a, double *out) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 64)
   for (int64_t i = 0; i < n; ++i) {
     double x[K], z[K];
     gather<K>(a, n, i, x);
@@ -443,7 +443,7 @@ static void t_scale(int64_t n, const double *a, const double *s,
     const int64_t nv = n & ~(int64_t)7;
     __m512d sv[K];
     vbcast_limbs<K>(s, sv);
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (nv >= 2048)
     for (int64_t i0 = 0; i0 < nv; i0 += 8) {
       __m512d xv[K], zv[K];
       vload<K>(a, n, i0, xv);
@@ -453,7 +453,7 @@ static void t_scale(int64_t n, const double *a, const double *s,
     i = nv;
   }
 #endif
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n - i >= 512)
   for (int64_t i2 = i; i2 < n; ++i2) {
     double x[K], z[K];
     gather<K>(a, n, i2, x);
@@ -524,7 +524,7 @@ static void t_gemm(int64_t m, int64_t p, int64_t n, const double *A,
   if (n >= 8) {
     const int64_t asz = m * p, bsz = p * n, csz = m * n;
     const int64_t nv = n & ~(int64_t)7;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (m * p * n >= 4096)
     for (int64_t i = 0; i < m; ++i) {
       __m512d acc[K], xv[K], yv[K], pr[K];
       double x[K];
@@ -552,7 +552,7 @@ static void t_gemm(int64_t m, int64_t p, int64_t n, const double *A,
     return;
   }
 #endif
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (m * p * n >= 4096)
   for (int64_t i = 0; i < m; ++i)
     gemm_row_scalar<K>(i, 0, m, p, n, A, B, C, ta, tb);
 }
@@ -586,7 +586,7 @@ static int t_cholesky(int64_t n, const double *A, double *L) {
       // rows below the diagonal are independent for fixed j: 8 rows per
       // lane-group, lane-groups across OpenMP threads
       const int64_t nblk = (n - i) / 8;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (nblk >= 2 && n >= 48)
       for (int64_t bi = 0; bi < nblk; ++bi) {
         __m512d sv[K], xv[K], yv[K], pr[K], iv[K];
         vbcast_limbs<K>(inv_t, iv);
@@ -677,7 +677,7 @@ static void t_trsm_lower(int64_t n, int64_t m, const double *L,
 #ifdef XK_HAVE_AVX512
   if (m >= 8) {
     const int64_t mv = m & ~(int64_t)7;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n * n * mv >= 8192)
     for (int64_t c0 = 0; c0 < mv; c0 += 8) {
       __m512d sv[K], xv[K], yv[K], pr[K], bv[K], rv[K];
       double x[K], r[K];
@@ -725,7 +725,7 @@ static void t_trsm_lower(int64_t n, int64_t m, const double *L,
     return;
   }
 #endif
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n * n * m >= 8192)
   for (int64_t c = 0; c < m; ++c)
     trsm_lower_cols<K>(n, m, L, B, X, trans, unit, c, c + 1);
 }
@@ -762,7 +762,7 @@ static void t_trsm_upper(int64_t n, int64_t m, const double *U,
 #ifdef XK_HAVE_AVX512
   if (m >= 8) {
     const int64_t mv = m & ~(int64_t)7;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n * n * mv >= 8192)
     for (int64_t c0 = 0; c0 < mv; c0 += 8) {
       __m512d sv[K], xv[K], yv[K], pr[K], bv[K], rv[K];
       double x[K], r[K];
@@ -789,7 +789,7 @@ static void t_trsm_upper(int64_t n, int64_t m, const double *U,
     return;
   }
 #endif
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n * n * m >= 8192)
   for (int64_t c = 0; c < m; ++c)
     trsm_upper_cols<K>(n, m, U, B, X, unit, c, c + 1);
 }
@@ -832,7 +832,7 @@ static int t_lu(int64_t n, const double *A, double *LU, int64_t *perm) {
     sc_recip<K>(piv, ipiv);
     // trailing rows are independent for fixed j: parallel across rows,
     // AVX-512 across the (contiguous) trailing columns of each row
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n - j >= 16)
     for (int64_t i = j + 1; i < n; ++i) {
       double xr[K], yr[K], prr[K];
       gather<K>(LU, sz, i * n + j, xr);
