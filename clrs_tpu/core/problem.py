@@ -234,7 +234,11 @@ def prepare_pack_data(
                 for jj in range(n_y):
                     Bt[r0 + i, jj] = mpmath.mpf(Bj[i, jj])
             r0 += info.dim_S[j]
-        Qh, Rh = mpmath.qr(Bt, mode="reduced")
+        # "skinny" returns the thin D x n_y Q / n_y x n_y R; any other
+        # mode string silently falls into mpmath's full-Q branch, which
+        # builds the D x D Q (~12x the work at these precisions) for
+        # identical leading columns
+        Qh, Rh = mpmath.qr(Bt, mode="skinny")
         # guard rank: R diagonal must be nonzero
         for i in range(n_y):
             if Rh[i, i] == 0:

@@ -369,7 +369,7 @@ static inline __m512i viota(int64_t start, int64_t stride) {
 #ifdef XK_HAVE_AVX512
 #define XK_ELEMWISE2(SCOP)                                          \
   const int64_t nv = n & ~(int64_t)7;                               \
-  _Pragma("omp parallel for schedule(static) if (nv >= 2048)")      \
+  _Pragma("omp parallel for schedule(static) if (nv >= 512)")      \
   for (int64_t i0 = 0; i0 < nv; i0 += 8) {                          \
     __m512d xv[K], yv[K], zv[K];                                    \
     vload<K>(a, n, i0, xv);                                         \
@@ -386,7 +386,7 @@ static inline __m512i viota(int64_t start, int64_t stride) {
   }
 #else
 #define XK_ELEMWISE2(SCOP)                                          \
-  _Pragma("omp parallel for schedule(static) if (n >= 512)")        \
+  _Pragma("omp parallel for schedule(static) if (n >= 256)")        \
   for (int64_t i = 0; i < n; ++i) {                                 \
     double x[K], y[K], z[K];                                        \
     gather<K>(a, n, i, x);                                          \
@@ -443,7 +443,7 @@ static void t_scale(int64_t n, const double *a, const double *s,
     const int64_t nv = n & ~(int64_t)7;
     __m512d sv[K];
     vbcast_limbs<K>(s, sv);
-#pragma omp parallel for schedule(static) if (nv >= 2048)
+#pragma omp parallel for schedule(static) if (nv >= 512)
     for (int64_t i0 = 0; i0 < nv; i0 += 8) {
       __m512d xv[K], zv[K];
       vload<K>(a, n, i0, xv);
@@ -453,7 +453,7 @@ static void t_scale(int64_t n, const double *a, const double *s,
     i = nv;
   }
 #endif
-#pragma omp parallel for schedule(static) if (n - i >= 512)
+#pragma omp parallel for schedule(static) if (n - i >= 256)
   for (int64_t i2 = i; i2 < n; ++i2) {
     double x[K], z[K];
     gather<K>(a, n, i2, x);
