@@ -127,9 +127,11 @@ def config_2():
     import jax
 
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
-    problem = _sphere_packing_problem(15, 2, dtype)
+    k = int(os.environ.get("CLRS_SUITE_C2_K", "2"))  # k=4 f32 is the
+    # numerically-healthy on-chip rung for this config (dd overflows)
+    problem = _sphere_packing_problem(15, k, dtype, prec=max(320, 53 * k + 150))
     kw = dict(omega_p=100.0, omega_d=100.0)
-    label = "sphere packing 2d=30 (dd)"
+    label = f"sphere packing 2d=30 (k={k})"
     if os.environ.get("CLRS_SUITE_PALLAS"):
         kw["use_pallas_matmul"] = True
         label += " +pallas-matmul"
