@@ -45,10 +45,16 @@ def _mm(a: XF, b: XF, use_mxu) -> XF:
 
         n, K = a.shape[-2:]
         m = b.shape[-1]
+        # k >= 3 routes through the generic limb-count-parameterized kernel
+        # at a LOWER size threshold: besides the fusion win, every matmul
+        # moved into the one custom-call shrinks the HLO the XLA compiler
+        # has to chew (the k>=4 compile wall, CLAUDE.md), so small blocks
+        # are worth it there too.
+        size_ok = n * K * m >= (10000 if a.k == 2 else 2000)
         if (
-            a.k == 2
-            and b.k == 2
-            and n * K * m >= 10000
+            a.k == b.k
+            and 2 <= a.k <= 8
+            and size_ok
             and jax.default_backend() == "tpu"
         ):
             from clrs_tpu.ops.pallas_xf import xf_matmul_pallas

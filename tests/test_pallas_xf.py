@@ -67,3 +67,72 @@ def test_matmul_pallas_interpret_vs_mpmath(batch, n, K, m):
     for idx in np.ndindex(val.shape):
         err = abs(float(val[idx] - float(C[idx])))
         assert err <= tol, (idx, err, tol)
+
+
+def rand_xf_mp(rng, cnt, k, scale=8):
+    """Random ~k*53-bit values with limb-spanning structure."""
+    out = []
+    comps = rng.standard_normal((cnt, k))
+    exps = rng.integers(-scale, scale + 1, cnt)
+    for i in range(cnt):
+        v = mpmath.mpf(0)
+        for j in range(k):
+            v += mpmath.mpf(float(comps[i, j])) * mpmath.mpf(2) ** (
+                int(exps[i]) - 50 * j
+            )
+        out.append(v)
+    return out
+
+
+@pytest.mark.parametrize(
+    "k,batch,n,K,m",
+    [
+        # single-grid-step configs (no interpret-mode loop carry): these
+        # verify the cascades at FULL (k-1)-limb value precision
+        (3, (), 5, 7, 9),
+        (4, (), 6, 4, 10),
+        (6, (), 4, 4, 5),
+        # multi-step / batched configs: the XLA:CPU grid-loop carry
+        # degrades low limbs (module docstring), value-checked at ~2^-48
+        (4, (2,), 8, 8, 8),
+        (4, (), 6, 13, 10),
+        (6, (), 4, 9, 5),
+    ],
+)
+def test_matmul_pallas_k_interpret_vs_mpmath(k, batch, n, K, m):
+    """The generic k-limb kernel (limb count as a static kernel parameter)
+    against an mpmath oracle.  Interpret-mode tolerance: the last limbs
+    degrade through the inlined grid loop when the kernel takes multiple
+    grid steps (module docstring), so those configs are value-checked at
+    the dd-test bound; single-step configs get the full k-limb bound."""
+    mpmath.mp.prec = 60 * k + 200  # own precision (ambient is whatever ran last)
+    rng = np.random.default_rng(hash((k, batch, n, K, m)) % 2**32)
+    sa = batch + (n, K)
+    sb = batch + (K, m)
+    a_mp = rand_xf_mp(rng, int(np.prod(sa)), k)
+    b_mp = rand_xf_mp(rng, int(np.prod(sb)), k)
+    a = xf_from_mp(a_mp, k=k).reshape(sa)
+    b = xf_from_mp(b_mp, k=k).reshape(sb)
+    Am = np.array(xf_to_mp(a.reshape((-1,))), dtype=object).reshape(sa)
+    Bm = np.array(xf_to_mp(b.reshape((-1,))), dtype=object).reshape(sb)
+    Ab = Am.reshape((-1, n, K))
+    Bb = Bm.reshape((-1, K, m))
+    C = np.stack([Ab[i] @ Bb[i] for i in range(Ab.shape[0])]).reshape(
+        batch + (n, m)
+    )
+    got = xf_matmul_pallas(a, b, interpret=True)
+    gm = np.array(xf_to_mp(got.reshape((-1,))), dtype=object).reshape(
+        batch + (n, m)
+    )
+    v0 = np.asarray(got.limbs, np.float64)[0]
+    scale_max = float(np.max(np.abs(v0))) or 1.0
+    kc = 8 if k <= 3 else 4
+    single_step = batch == () and K <= kc
+    if single_step:
+        # value-level bound: one limb of slack beyond the (k-1)-limb level
+        tol = scale_max * 2.0 ** (-50 * (k - 1))
+    else:
+        tol = scale_max * 2.0**-48  # interpret loop-carry bound
+    for idx in np.ndindex(C.shape):
+        err = abs(float(gm[idx] - C[idx]))
+        assert err <= tol, (idx, err, tol)
