@@ -19,7 +19,9 @@ the XLA solver at k<=5 in tests/test_host_solver.py.
 
 from __future__ import annotations
 
+import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -241,6 +243,49 @@ def weighted_A_block_h(
 # ---------------------------------------------------------------------------
 
 
+class _JPool:
+    """Worker pool over independent cluster work items — the host-path
+    analogue of the reference's `Threads.@threads` over (j, l) loops
+    (MPMP.jl:1435, 1454, 1751; SURVEY.md §2 parallelism table).
+
+    Work items are submitted longest-processing-time-first by the given
+    weights (the same blocksize^3 heuristic as the reference's
+    distribute_weights_swapping, MPMP.jl:425-465) and results returned in
+    input order, so every reduction downstream accumulates in a FIXED
+    order — threaded runs are bitwise identical to serial runs.  The
+    native kernels release the GIL inside ctypes calls, which is where
+    the time goes; their inner OpenMP regions are work-size-gated, so
+    many-small-cluster problems (the scaling case) never nest."""
+
+    def __init__(self, threads: int):
+        self.ex = ThreadPoolExecutor(threads) if threads > 1 else None
+
+    def map(self, fn, items, weights=None):
+        if self.ex is None or len(items) <= 1:
+            return [fn(it) for it in items]
+        order = list(range(len(items)))
+        if weights is not None:
+            order.sort(key=lambda i: -weights[i])
+        futs = {}
+        for i in order:
+            futs[i] = self.ex.submit(fn, items[i])
+        return [futs[i].result() for i in range(len(items))]
+
+    def shutdown(self):
+        if self.ex is not None:
+            self.ex.shutdown()
+
+
+def _resolve_host_threads(cfg, info: BlockInfo) -> int:
+    n = getattr(cfg, "host_threads", None)
+    if n is None:
+        env = os.environ.get("CLRS_HOST_THREADS", "")
+        n = int(env) if env else (os.cpu_count() or 1)
+    if info.J < 2:
+        return 1  # single cluster: nothing to fan out over
+    return max(1, min(int(n), info.J))
+
+
 def _bd_scalar_identity(info: BlockInfo, scale: float, k: int):
     out = []
     for j in range(info.J):
@@ -325,6 +370,18 @@ def solve_host(
     def inv_fn_s(M):
         return hxf_inverse_lu(M) if use_lu_schur else hxf_spd_inverse(M)
 
+    # cluster-parallel worker pool (reference: Threads.@threads over j /
+    # (j, l); results always reduced in fixed j order -> bitwise
+    # deterministic at any thread count, asserted in tests)
+    pool = _JPool(_resolve_host_threads(cfg, info))
+    jl_items = [(j, l) for j in range(info.J) for l in range(info.L[j])]
+    jl_weights = [float(info.Y_blocksizes[j][l]) ** 3 for (j, l) in jl_items]
+    j_weights = [
+        float(info.dim_S[j]) ** 3
+        + sum(float(bs) ** 3 for bs in info.Y_blocksizes[j])
+        for j in range(info.J)
+    ]
+
     def compute_residual_R(mu_s: HXF, dX=None, dY=None):
         R = []
         for j in range(info.J):
@@ -339,16 +396,16 @@ def solve_host(
         return R
 
     def compute_weighted_A(a: HXF):
-        out = []
-        for j in range(info.J):
+        def one(j):
             a_j = a[info.x_indices[j]:info.x_indices[j + 1], 0]
-            out.append([
+            return [
                 weighted_A_block_h(
                     a_j, hp.Vs[j][l], hp.Hs[j][l], info.m[j],
                     info.n_samples[j], info.rmax[j][l])
                 for l in range(info.L[j])
-            ])
-        return out
+            ]
+
+        return pool.map(one, list(range(info.J)), j_weights)
 
     header = (
         f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'P-obj':>11} {'D-obj':>11} "
@@ -386,15 +443,17 @@ def solve_host(
         mu_p = (HXF.zeros((), k=k) if pd_feas
                 else mu * cfg.beta_infeasible)
         R = compute_residual_R(mu_p)
-        X_inv = []
+
+        def _xinv_one(jl):
+            inv, okb = inv_fn_x(X[jl[0]][jl[1]])
+            return hxf_sym(inv), okb
+
+        inv_res = pool.map(_xinv_one, jl_items, jl_weights)
+        X_inv = [[None] * info.L[j] for j in range(info.J)]
         ok_inv = True
-        for j in range(info.J):
-            row = []
-            for l in range(info.L[j]):
-                inv, okb = inv_fn_x(X[j][l])
-                ok_inv = ok_inv and okb
-                row.append(hxf_sym(inv))
-            X_inv.append(row)
+        for (j, l), (inv, okb) in zip(jl_items, inv_res):
+            X_inv[j][l] = inv
+            ok_inv = ok_inv and okb
         if not ok_inv:
             if not use_lu_inverse:
                 if cfg.verbose:
@@ -406,14 +465,9 @@ def solve_host(
             break
         tphase = timed("Xinv+R", tphase)
 
-        # ---- decomposition (MPMP.jl:1218-1514) ----
-        ok_s = True
-        S_mat: List[HXF] = []
-        S_inv: List[HXF] = []
-        S_inv_B: List[HXF] = []
-        A_Y: List[List[HXF]] = []
-        Q = HXF.zeros((n_y, n_y), k=k)
-        for j in range(info.J):
+        # ---- decomposition (MPMP.jl:1218-1514; per-cluster work fanned
+        # over the pool like the reference's @threads at :1424-1442) ----
+        def _decomp_one(j):
             m, K = info.m[j], info.n_samples[j]
             dim = info.dim_S[j]
             S_j = HXF.zeros((dim, dim), k=k)
@@ -426,10 +480,21 @@ def solve_host(
                     PX, PY, hp.Hs[j][l], m, K, info.rmax[j][l])
             S_j = hxf_sym(S_j)
             Sj_inv, okj = inv_fn_s(S_j)
-            ok_s = ok_s and okj
             Sj_inv = hxf_sym(Sj_inv)
             SB = hxf_matmul(Sj_inv, hp.B[j])
-            Q = Q + hxf_matmul(hp.B[j], SB, ta=True)
+            Qj = hxf_matmul(hp.B[j], SB, ta=True)
+            return S_j, Sj_inv, SB, Qj, ay, okj
+
+        dres = pool.map(_decomp_one, list(range(info.J)), j_weights)
+        ok_s = True
+        S_mat: List[HXF] = []
+        S_inv: List[HXF] = []
+        S_inv_B: List[HXF] = []
+        A_Y: List[List[HXF]] = []
+        Q = HXF.zeros((n_y, n_y), k=k)
+        for S_j, Sj_inv, SB, Qj, ay, okj in dres:  # fixed j order
+            ok_s = ok_s and okj
+            Q = Q + Qj
             S_mat.append(S_j)
             S_inv.append(Sj_inv)
             S_inv_B.append(SB)
@@ -478,50 +543,54 @@ def solve_host(
 
         # ---- search direction (MPMP.jl:1682-1824) ----
         def saddle_solve(rx: HXF, ry: HXF):
-            temp = []
-            acc = None
-            for j in range(info.J):
+            def stage1(j):
                 rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
                 tx = hxf_matmul(S_inv[j], rj)
-                temp.append(tx)
-                a = hxf_matmul(hp.B[j], tx, ta=True)
+                return tx, hxf_matmul(hp.B[j], tx, ta=True)
+
+            s1 = pool.map(stage1, list(range(info.J)), j_weights)
+            temp = [t for t, _ in s1]
+            acc = None
+            for _, a in s1:  # fixed j order
                 acc = a if acc is None else acc + a
             dy_ = hxf_matmul(Q_inv, ry - acc)
-            dxs_ = [temp[j] + hxf_matmul(S_inv_B[j], dy_)
-                    for j in range(info.J)]
+            dxs_ = pool.map(
+                lambda j: temp[j] + hxf_matmul(S_inv_B[j], dy_),
+                list(range(info.J)), j_weights)
             return dxs_, dy_
 
         def saddle_residual(rx: HXF, ry: HXF, dxs_, dy_):
-            rxs = []
-            accb = None
-            for j in range(info.J):
+            def one(j):
                 rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
                 Sdx = hxf_matmul(S_mat[j], dxs_[j])
                 Bdy = hxf_matmul(hp.B[j], dy_)
-                rxs.append(rj - Sdx + Bdy)
-                a = hxf_matmul(hp.B[j], dxs_[j], ta=True)
+                return rj - Sdx + Bdy, hxf_matmul(hp.B[j], dxs_[j], ta=True)
+
+            parts = pool.map(one, list(range(info.J)), j_weights)
+            accb = None
+            for _, a in parts:  # fixed j order
                 accb = a if accb is None else accb + a
-            rx_full = HXF(np.concatenate([r_.limbs for r_ in rxs], axis=1))
+            rx_full = HXF(np.concatenate([r_.limbs for r_, _ in parts],
+                                         axis=1))
             return rx_full, ry - accb
 
         def direction(Rmat):
-            Z = []
-            for j in range(info.J):
-                Z.append([
+            def z_and_trace(j):
+                Zj = [
                     hxf_sym(hxf_matmul(
                         X_inv[j][l],
                         hxf_matmul(P[j][l], Y[j][l]) - Rmat[j][l]))
                     for l in range(info.L[j])
-                ])
-            tr_parts = []
-            for j in range(info.J):
+                ]
                 tr = None
                 for l in range(info.L[j]):
                     t = trace_A_generic_h(
-                        Z[j][l], hp.Vs[j][l], hp.Hs[j][l], info.m[j],
+                        Zj[l], hp.Vs[j][l], hp.Hs[j][l], info.m[j],
                         info.n_samples[j], info.rmax[j][l])
                     tr = t if tr is None else tr + t
-                tr_parts.append(tr)
+                return tr
+
+            tr_parts = pool.map(z_and_trace, list(range(info.J)), j_weights)
             trZ = HXF(np.concatenate([t.limbs for t in tr_parts], axis=1))
             rhs_x = -d - trZ.reshape((info.total_dim_S, 1))
             rhs_y = p
@@ -533,15 +602,22 @@ def solve_host(
                 dy = dy + ddy
             dx = HXF(np.concatenate([d_.limbs for d_ in dxs], axis=1))
             dX = compute_weighted_A(dx)
-            dY = []
-            for j in range(info.J):
-                dX[j] = [dX[j][l] + P[j][l] for l in range(info.L[j])]
-                dY.append([
+
+            def dy_one(j):
+                dXj = [dX[j][l] + P[j][l] for l in range(info.L[j])]
+                dYj = [
                     hxf_sym(hxf_matmul(
                         X_inv[j][l],
-                        Rmat[j][l] - hxf_matmul(dX[j][l], Y[j][l])))
+                        Rmat[j][l] - hxf_matmul(dXj[l], Y[j][l])))
                     for l in range(info.L[j])
-                ])
+                ]
+                return dXj, dYj
+
+            dres2 = pool.map(dy_one, list(range(info.J)), j_weights)
+            dY = []
+            for j, (dXj, dYj) in enumerate(dres2):
+                dX[j] = dXj
+                dY.append(dYj)
             return dx, dX, dy, dY
 
         dx, dX, dy, dY = direction(R)
@@ -568,17 +644,18 @@ def solve_host(
         dx, dX, dy, dY = direction(R2)
         tphase = timed("corrector_dir", tphase)
 
-        # ---- step lengths (MPMP.jl:1829-1898) ----
-        lam_p = np.inf
-        lam_d = np.inf
-        ok_a = True
-        for j in range(info.J):
-            for l in range(info.L[j]):
-                lp, okp = hxf_min_eig_sym(X[j][l], dX[j][l])
-                ld, okd = hxf_min_eig_sym(Y[j][l], dY[j][l])
-                ok_a = ok_a and okp and okd
-                lam_p = min(lam_p, lp)
-                lam_d = min(lam_d, ld)
+        # ---- step lengths (MPMP.jl:1829-1898; @threads over blocks at
+        # :1842, global min reduction :1890-1891) ----
+        def _steplen_one(jl):
+            j, l = jl
+            lp, okp = hxf_min_eig_sym(X[j][l], dX[j][l])
+            ld, okd = hxf_min_eig_sym(Y[j][l], dY[j][l])
+            return lp, ld, okp and okd
+
+        sres = pool.map(_steplen_one, jl_items, jl_weights)
+        lam_p = min([np.inf] + [r[0] for r in sres])
+        lam_d = min([np.inf] + [r[1] for r in sres])
+        ok_a = all(r[2] for r in sres)
         if not ok_a:
             status = "numerical_failure:steplength"
             break
@@ -682,6 +759,7 @@ def solve_host(
         x, y, X, Y = best_state
         gap = best_row["gap"]
 
+    pool.shutdown()
     time_total = time.time() - t0
     if cfg.verbose:
         print(f"status: {status}  iterations: {itn}  time: {time_total:.2f}s")

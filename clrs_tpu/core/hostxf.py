@@ -34,6 +34,12 @@ IP = ctypes.POINTER(ctypes.c_int64)
 
 
 def _build() -> ctypes.CDLL:
+    # Idle OpenMP workers must SLEEP, not spin: the host solver runs a
+    # Python thread pool over clusters (host_solver._JPool) whose workers
+    # can each enter gated OpenMP regions — with the default active wait
+    # policy the spinning would oversubscribe the box (the CLAUDE.md
+    # co-load hazard).  Must be set before the library's first omp call.
+    os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
     if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(
         _SRC
     ):

@@ -97,6 +97,12 @@ class SolverConfig:
     # first; our k-limb rungs hit the floor and must exit cleanly)
     blowup_factor: float = 1e3
     blowup_weight: int = 8
+    host_threads: Optional[int] = None  # host-path (core/host_solver.py)
+    # worker threads over clusters — the analogue of the reference's
+    # Threads.@threads over (j, l) (MPMP.jl:1435, 1454, 1751).  None =
+    # auto: $CLRS_HOST_THREADS, else os.cpu_count(); engaged only for
+    # multi-cluster problems.  The XLA/TPU paths ignore this (blocks are
+    # batched, not looped).
     verbose: bool = True
     testing: bool = False  # print early-iteration timings (MPMP.jl:612)
     profile_dir: Optional[str] = None  # write a jax.profiler trace of the
@@ -110,10 +116,12 @@ class SolverConfig:
     use_mxu_matmul: bool = False  # pairing/weighted-A products through the
     # integer-sliced MXU matmul (ops/mxu_matmul.py) instead of the VPU
     # expansion matmul — the systolic-array path for large blocks on TPU
-    use_pallas_inverse: bool = False  # dd (k=2) X^-1 through the fused
-    # Pallas SPD-inverse kernel (ops/pallas_dd.py): whole batched
+    use_pallas_inverse: bool = False  # X^-1 through the fused Pallas
+    # SPD-inverse kernels (ops/pallas_dd.py at k=2, the limb-count-
+    # parameterized ops/pallas_xf.py kernel at k>=3): whole batched
     # Cholesky+solve+W^T W per block in ONE kernel, VMEM-resident — removes
-    # the per-column launch latency of the XLA fori_loop factorization
+    # the per-column launch latency of the XLA fori_loop factorization and
+    # keeps high-k factorizations off the XLA compile path
     use_pallas_matmul: Optional[bool] = None  # dd (k=2) pairing/
     # weighted-A/trace products through the fused Pallas outer-product
     # matmul (ops/pallas_xf.py): whole contraction VMEM-resident, no
@@ -179,21 +187,27 @@ def compute_X_inv(X, info: BlockInfo, use_lu: bool, use_pallas: bool = False):
 
 
 def _compute_X_inv_pallas(X, info: BlockInfo):
-    """dd X^-1 via the fused Pallas SPD-inverse kernel, one call per
-    block-size group (each grid program factors one block in VMEM)."""
+    """X^-1 via the fused Pallas SPD-inverse kernels, one call per
+    block-size group (each grid program factors one block in VMEM):
+    the tuned dd kernel at k=2 (ops/pallas_dd.py), the limb-count-
+    parameterized kernel at k>=3 (ops/pallas_xf.py) — the latter keeps
+    high-precision factorizations on-chip with XLA compile cost flat
+    in k."""
     from clrs_tpu.core.batched import block_groups, stack_xf, unstack_xf
     from clrs_tpu.ops.pallas_dd import xf_spd_inverse_pallas_batched
+    from clrs_tpu.ops.pallas_xf import xf_spd_inverse_pallas_k_batched
 
     interpret = jax.default_backend() == "cpu"
     out = [[None] * info.L[j] for j in range(info.J)]
     ok = jnp.bool_(True)
     for size, jls in block_groups(info).items():
         stacked = stack_xf([X[j][l] for (j, l) in jls])
-        if stacked.k != 2:
-            raise ValueError(
-                "use_pallas_inverse supports k=2 (double-double) limbs only"
-            )
-        inv_limbs, okb = xf_spd_inverse_pallas_batched(
+        inv_fn = (
+            xf_spd_inverse_pallas_batched
+            if stacked.k == 2
+            else xf_spd_inverse_pallas_k_batched
+        )
+        inv_limbs, okb = inv_fn(
             stacked.limbs, interpret=interpret
         )
         ok = ok & jnp.all(okb)
@@ -401,9 +415,15 @@ def compute_trace_A_generic(problem: SDPProblem, Z, use_mxu: bool = False):
     return _concat_cluster_vecs(info, parts)
 
 
-def compute_residuals(problem: SDPProblem, x, X, y, A_Y, use_mxu: bool = False):
+def compute_residuals(problem: SDPProblem, x, X, y, A_Y, use_mxu: bool = False,
+                      Y=None):
     """P = sum A_i x_i - X - C;  p = b - B^T x;  d = c - Tr(A_* Y) - By
-    (MPMP.jl:1107-1144)."""
+    (MPMP.jl:1107-1144).
+
+    The trace term uses the fast diag-pairing path when A_Y is given
+    (in-loop callers, MPMP.jl:1585-1618); pass A_Y=None with the Y blocks
+    instead for one-off post-loop evaluation (e.g. the sharded driver's
+    returned-iterate residuals) via the generic trace."""
     info = problem.info
     P = compute_weighted_A(problem, x, use_mxu)
     for j in range(info.J):
@@ -442,7 +462,11 @@ def compute_residuals(problem: SDPProblem, x, X, y, A_Y, use_mxu: bool = False):
             [xf_matmul(problem.clusters[j].B, y).limbs for j in range(info.J)], axis=1
         )
     )
-    d = xf_add(xf_add(cs, -By), -compute_trace_A_diag(problem, A_Y))
+    if A_Y is not None:
+        tr = compute_trace_A_diag(problem, A_Y)
+    else:
+        tr = compute_trace_A_generic(problem, Y, use_mxu)
+    d = xf_add(xf_add(cs, -By), -tr)
     return P, p, d
 
 

@@ -249,6 +249,11 @@ static inline void sc_recip(const double *b, double *out) {
 // one refinement step given a precomputed reciprocal r ~ 1/b:
 // q = a*r; q += (a - b*q)*r.  This IS sc_div's sequence after its
 // sc_recip call, shared so the scalar and vector paths stay bit-equal.
+// NOTE: at K == 1 this Newton-refined quotient differs (by an ulp) from
+// sc_div's K==1 hardware-divide early-out, so the trsm bodies — which
+// always route divides through here to amortize the per-pivot reciprocal
+// — diverge from t_div at K=1.  Harmless: the solver's host path uses
+// K >= 2 everywhere, and scalar/vector trsm paths agree at every K.
 template <int K, class E = double>
 static inline void sc_div_with_recip(const E *a, const E *b, const E *r,
                                      E *out) {

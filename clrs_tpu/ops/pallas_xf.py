@@ -161,6 +161,78 @@ class _XOps:
         r.append(err)
         return self._vec_sum(r)
 
+    def neg(self, al):
+        return [-x for x in al]
+
+    def scale_half(self, al):
+        """Exact limbwise scaling by 0.5 (a power of two)."""
+        return [0.5 * x for x in al]
+
+    def ones_like(self, x):
+        return [jnp.ones_like(x)] + [jnp.zeros_like(x)] * (self.k - 1)
+
+    def recip(self, bl):
+        """Newton iteration for 1/b (mirrors xfloat.xf_reciprocal).
+        b must be nonzero (callers pre-mask)."""
+        import math as _math
+
+        k = self.k
+        safe = jnp.where(bl[0] != 0, bl[0], jnp.ones_like(bl[0]))
+        x = [1.0 / safe] + [jnp.zeros_like(safe)] * (k - 1)
+        ones = self.ones_like(safe)
+        for _ in range(max(1, _math.ceil(_math.log2(k)) + 1)):
+            e = self.add(ones, self.neg(self.mul(bl, x)))
+            x = self.add(x, self.mul(x, e))
+        return x
+
+    def div(self, al, bl):
+        """a / b with one refinement step (mirrors xfloat.xf_div)."""
+        r = self.recip(bl)
+        q = self.mul(al, r)
+        res = self.add(al, self.neg(self.mul(bl, q)))
+        return self.add(q, self.mul(res, r))
+
+    def sqrt(self, al):
+        """sqrt via rsqrt Newton (mirrors xfloat.xf_sqrt); a >= 0, 0 ok."""
+        import math as _math
+
+        k = self.k
+        pos = al[0] > 0
+        one = jnp.ones_like(al[0])
+        zero = jnp.zeros_like(al[0])
+        safe = [jnp.where(pos, al[0], one)] + [
+            jnp.where(pos, al[i], zero) for i in range(1, k)
+        ]
+        x = [jax.lax.rsqrt(safe[0])] + [zero] * (k - 1)
+        ones = self.ones_like(safe[0])
+        for _ in range(max(1, _math.ceil(_math.log2(k)) + 1)):
+            e = self.add(ones, self.neg(self.mul(safe, self.mul(x, x))))
+            x = self.add(x, self.scale_half(self.mul(x, e)))
+        s = self.mul(safe, x)
+        e = self.add(safe, self.neg(self.mul(s, s)))
+        s = self.add(s, self.scale_half(self.mul(e, x)))
+        return [jnp.where(pos, si, zero) for si in s]
+
+    def sum_axis(self, pl_list, axis: int):
+        """k-limb sum along an axis: zero-padded static halving tree
+        (mirrors _Ops.sum_axis)."""
+        m = pl_list[0].shape[axis]
+        np2 = 1
+        while np2 < m:
+            np2 *= 2
+        if np2 != m:
+            pad = [(0, 0)] * pl_list[0].ndim
+            pad[axis] = (0, np2 - m)
+            pl_list = [jnp.pad(x, pad) for x in pl_list]
+        while np2 > 1:
+            half = np2 // 2
+            a = [jax.lax.slice_in_dim(x, 0, half, axis=axis) for x in pl_list]
+            b = [jax.lax.slice_in_dim(x, half, np2, axis=axis) for x in pl_list]
+            pl_list = self.add(a, b)
+            np2 = half
+        return [jnp.squeeze(x, axis=axis) for x in pl_list]
+
+
 _KC = 8  # default columns of A (rows of B) accumulated per grid step
 
 
@@ -341,3 +413,153 @@ def xf_matmul_pallas(a: XF, b: XF, interpret: bool = False) -> XF:
         al.reshape(k, B, n, K), bl.reshape(k, B, K, m), interpret=interpret
     )
     return XF(out.reshape((k,) + batch + (n, m)))
+
+
+# ---------------------------------------------------------------------------
+# k-limb fused SPD inverse (generalizes ops/pallas_dd._spd_inverse_kernel)
+# ---------------------------------------------------------------------------
+
+
+def _spd_inverse_kernel_k(a_ref, out_ref, okf_ref, l_ref, w_ref, *,
+                          n: int, k: int, barrier: bool):
+    """One block: A = L L^T (Cholesky), W = L^-1 (forward solve),
+    A^-1 = W^T W — all in k-limb expansion arithmetic, VMEM-resident.
+
+    Same structure and Mosaic lowering rules as pallas_dd's dd kernel
+    (one-hot row/column selection, no lane-dim dynamic indexing, int32
+    loop counters, f32 pivot flags reduced on the XLA side); the dd
+    (hi, lo) pairs become length-k limb lists over the _XOps cascades,
+    with L and W each ONE stacked (k, n, n) scratch."""
+    xo = _XOps(barrier, k)
+    dtype = a_ref.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    l_ref[...] = jnp.zeros((k, n, n), dtype)
+    okf_ref[0, 0, :] = jnp.ones((n,), dtype)
+
+    A = [a_ref[0, i, :, :] for i in range(k)]
+
+    def chol_col(j, _):
+        L = [l_ref[i] for i in range(k)]
+        rowsel = jnp.where(rows == j, one, zero)
+        colsel = jnp.where(cols == j, one, zero)
+        rowj = [jnp.sum(Li * rowsel, axis=0) for Li in L]   # L[j, :], exact
+        Aj = [jnp.sum(Ai * colsel, axis=1) for Ai in A]     # A[:, j], exact
+        # s = A[:, j] - L @ rowj  (k-limb matvec via halving tree)
+        p = xo.mul(L, [r[None, :] for r in rowj])           # (n, n)
+        acc = xo.sum_axis(p, axis=1)
+        s = xo.add(Aj, xo.neg(acc))
+        onej = jnp.where(rows[:, 0] == j, one, zero)        # (n,) one-hot
+        # pivot s[j] as a broadcast (n,) vector (rank-1 -> scalar
+        # reductions do not lower in Mosaic)
+        djj = [
+            jnp.sum(jnp.broadcast_to(si[None, :] * onej[None, :], (n, n)),
+                    axis=1)
+            for si in s
+        ]
+        flag = jnp.where(djj[0] > 0, one, zero)
+        okf_ref[0, 0, :] = jnp.where(cols[0, :] == j, flag, okf_ref[0, 0, :])
+        safe = [jnp.where(djj[0] > 0, djj[0], one)] + [
+            jnp.where(djj[0] > 0, djj[i], zero) for i in range(1, k)
+        ]
+        ljj = xo.sqrt(safe)
+        c = xo.div(s, ljj)
+        below = rows[:, 0] > j
+        at = rows[:, 0] == j
+        for i in range(k):
+            ci = jnp.where(at, ljj[i], jnp.where(below, c[i], 0.0))
+            l_ref[i] = jnp.where(cols == j, ci[:, None], L[i])
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_col, jnp.int32(0),
+                      unroll=False)
+
+    # W = L^-1 by forward substitution, one row at a time
+    w_ref[...] = jnp.zeros((k, n, n), dtype)
+
+    def solve_row(i, _):
+        L = [l_ref[q] for q in range(k)]
+        W = [w_ref[q] for q in range(k)]
+        rowsel = jnp.where(rows == i, one, zero)
+        rowl = [jnp.sum(Lq * rowsel, axis=0) for Lq in L]   # L[i, :]
+        p = xo.mul([r[:, None] for r in rowl], W)
+        acc = xo.sum_axis(p, axis=0)
+        onei = jnp.where(rows[:, 0] == i, one, zero)
+        ei = [onei] + [jnp.zeros_like(onei)] * (k - 1)      # row i of I
+        nrm = xo.add(ei, xo.neg(acc))
+        d = [
+            jnp.sum(jnp.broadcast_to(r[None, :] * onei[None, :], (n, n)),
+                    axis=1)
+            for r in rowl
+        ]
+        qv = xo.div(nrm, d)
+        for q in range(k):
+            w_ref[q] = jnp.where(rows == i, qv[q][None, :], W[q])
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_row, jnp.int32(0),
+                      unroll=False)
+
+    # inv = W^T W  (k-limb rank-1 accumulation; ONE stacked carry — see
+    # the pallas_dd wtw_body note on XLA:CPU tuple-carry hazards)
+    def wtw_body(t, acc):
+        rowsel = jnp.where(rows == t, one, zero)
+        r = [jnp.sum(w_ref[q] * rowsel, axis=0) for q in range(k)]
+        p = xo.mul([x[:, None] for x in r], [x[None, :] for x in r])
+        o = xo.add([acc[q] for q in range(k)], p)
+        return jnp.stack(o)
+
+    inv = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n), wtw_body, jnp.zeros((k, n, n), dtype),
+        unroll=False,
+    )
+    for i in range(k):
+        out_ref[0, i, :, :] = inv[i]
+
+
+def xf_spd_inverse_pallas_k(limbs: jnp.ndarray, interpret: bool = False):
+    """Batched k-limb SPD inverse: limbs (B, k, n, n) -> (inv (B, k, n, n),
+    ok (B,) bool).  One grid program per block, everything VMEM-resident;
+    the limb count is a static kernel parameter, so XLA compile cost is
+    flat in k (replaces the XLA fori_loop factorization whose unrolled
+    cascade HLO is the k>=4 compile wall)."""
+    B, k, n, _ = limbs.shape
+    dtype = limbs.dtype
+    kernel = functools.partial(_spd_inverse_kernel_k, n=n, k=k,
+                               barrier=interpret)
+    inv, okf = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, k, n, n), lambda b: (b, _i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, n, n), lambda b: (b, _i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b: (b, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k, n, n), dtype),
+            jax.ShapeDtypeStruct((B, 1, n), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, n, n), dtype),  # L
+            pltpu.VMEM((k, n, n), dtype),  # W
+        ],
+        interpret=interpret,
+    )(limbs)
+    return inv, jnp.all(okf > 0.5, axis=(1, 2))
+
+
+def xf_spd_inverse_pallas_k_batched(x_limbs: jnp.ndarray,
+                                    interpret: bool = False):
+    """Adapter for the solver's stacked-XF layout: limbs (k, B, n, n)."""
+    inv, ok = xf_spd_inverse_pallas_k(
+        jnp.swapaxes(x_limbs, 0, 1), interpret=interpret
+    )
+    return jnp.swapaxes(inv, 0, 1), ok

@@ -864,9 +864,16 @@ def solve_hetero_sharded(
     # cluster-sharded leaves are not fully addressable per process, so
     # only the replicated y is materialized; the bundled sharded state is
     # attached as res.raw_state for continued distributed use.
+    P_res, p_res, d_res = None, None, None
     if jax.process_count() == 1:
         x, X_bd, Y_bd, y_out = scatter_bundle_state(
             problem, shapes, owners, state)
+        # residuals at the returned iterate in INTERNAL coordinates (the
+        # SolveResult contract, solver.py SolveResult docstring) — computed
+        # BEFORE the user-coordinate untransforms, via the generic trace
+        from clrs_tpu.core.solver import compute_residuals as _cres
+
+        P_res, p_res, d_res = _cres(problem, x, X_bd, y_out, None, Y=Y_bd)
         if problem.x_sigma is not None:
             x = xf_div(x, problem.x_sigma)
     else:
@@ -877,7 +884,7 @@ def solve_hetero_sharded(
     if row is None:
         row = history[-1] if history else None
     res = SolveResult(
-        x=x, X=X_bd, y=y_out, Y=Y_bd, P=None, p=None, d=None,
+        x=x, X=X_bd, y=y_out, Y=Y_bd, P=P_res, p=p_res, d=d_res,
         dual_gap=gap,
         primal_objective=row["p_obj"] if row else float("nan"),
         dual_objective=row["d_obj"] if row else float("nan"),

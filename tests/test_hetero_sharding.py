@@ -128,6 +128,19 @@ def test_hetero_converges(delsarte_problem):
     x_g = np.asarray(res.x.to_float64()).ravel()
     scale = max(1.0, np.max(np.abs(x_g)))
     np.testing.assert_allclose(x_h, x_g, rtol=0, atol=1e-5 * scale)
+    # P/p/d populated (SolveResult parity with the core solver): max-abs of
+    # the returned residuals must agree with the iteration-log errors
+    assert out.P is not None and out.p is not None and out.d is not None
+    last = out.history[-1]
+    p_res = np.max(np.abs(np.asarray(out.p.to_float64())))
+    d_res = np.max(np.abs(np.asarray(out.d.to_float64())))
+    P_res = max(
+        float(np.max(np.abs(np.asarray(blk.to_float64()))))
+        for j in range(len(out.P)) for blk in out.P[j]
+    )
+    assert P_res <= 10 * max(last["P_err"], 1e-30), (P_res, last["P_err"])
+    assert p_res <= 10 * max(last["p_err"], 1e-30), (p_res, last["p_err"])
+    assert d_res <= 10 * max(last["d_err"], 1e-25), (d_res, last["d_err"])
 
 
 def test_hetero_nonzero_C():

@@ -137,3 +137,24 @@ def test_host_matches_xla_trajectory(delsarte_cons):
         )
         assert abs(rh["alpha_p"] - rx["alpha_p"]) < 1e-6
         assert abs(rh["alpha_d"] - rx["alpha_d"]) < 1e-6
+
+
+def test_host_threads_bitwise_deterministic(delsarte_cons):
+    """Threaded host solves (cluster pool, host_solver._JPool) are bitwise
+    identical to serial: per-cluster work is independent and every
+    reduction accumulates in fixed j order regardless of completion
+    order (the determinism contract of the reference's @threads loops,
+    made exact)."""
+    cons, b = delsarte_cons
+    info = get_block_info(cons)
+    kw = dict(precision_k=6, omega_p=100.0, omega_d=100.0,
+              maxiterations=40, verbose=False)
+    r1 = solverank1sdp_host(cons, b, info, host_threads=1, **kw)
+    r2 = solverank1sdp_host(cons, b, info, host_threads=2, **kw)
+    np.testing.assert_array_equal(r1.x.limbs, r2.x.limbs)
+    np.testing.assert_array_equal(r1.y.limbs, r2.y.limbs)
+    for j in range(len(r1.X)):
+        for l in range(len(r1.X[j])):
+            np.testing.assert_array_equal(r1.X[j][l].limbs, r2.X[j][l].limbs)
+            np.testing.assert_array_equal(r1.Y[j][l].limbs, r2.Y[j][l].limbs)
+    assert [h["gap"] for h in r1.history] == [h["gap"] for h in r2.history]

@@ -221,3 +221,61 @@ def test_matches_jax_xf_limbs(k):
     np.testing.assert_array_equal(
         np.asarray(xf_mul(ax, bx).limbs), (ah * bh).limbs
     )
+
+
+@pytest.mark.parametrize("k", [2, 5, 10])
+def test_wide_kernels_cover_avx_lanes(k):
+    """Outputs >= 8 wide (plus non-multiple-of-8 tails) so the AVX-512
+    8-lane vector bodies of gemm/cholesky/trsm/LU execute, not just the
+    scalar tails (round-2 advice: the earlier sizes n<=6 stayed below the
+    vector threshold, leaving the lane kernels untested here)."""
+    mpmath.mp.prec = 1400
+    rng = np.random.default_rng(900 + k)
+    eps = mpmath.mpf(2) ** (-53 * k + 16)
+    tiny = mpmath.mpf(2) ** -1300
+
+    # gemm 13x17x29: vector body (3x8 lanes) + 5-wide tail
+    a_mp = _rand_mp(rng, (13, 17), span=15)
+    b_mp = _rand_mp(rng, (17, 29), span=15)
+    A = HXF.from_mp(a_mp, k=k)
+    B = HXF.from_mp(b_mp, k=k)
+    C = hxf_matmul(A, B).to_mp()
+    for i in range(13):
+        for j in range(29):
+            w = mpmath.fsum(a_mp[i, t] * b_mp[t, j] for t in range(17))
+            assert abs(C[i, j] - w) / (abs(w) + tiny) < eps, (k, i, j)
+
+    # Cholesky / trsm / SPD inverse / LU at n=18 (two vector rows + tail)
+    n = 18
+    base = _rand_mp(rng, (n, n), span=8)
+    g_mp = np.empty((n, n), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            g_mp[i, j] = mpmath.fsum(base[i, t] * base[j, t] for t in range(n))
+        g_mp[i, i] = g_mp[i, i] + mpmath.mpf(2) ** int(16 - i)
+    G = HXF.from_mp(g_mp, k=k)
+    L, ok = hxf_cholesky(G)
+    assert ok
+    R = hxf_matmul(L, L.T).to_mp()
+    scale = max(abs(v) for v in g_mp.ravel())
+    for g, w in zip(R.ravel(), g_mp.ravel()):
+        assert abs(g - w) <= mpmath.mpf(2) ** (-53 * k + 30) * scale
+
+    b2_mp = _rand_mp(rng, (n, 12), span=5)
+    B2 = HXF.from_mp(b2_mp, k=k)
+    Y = hxf_solve_tril(L, B2)
+    Br = hxf_matmul(L, Y).to_mp()
+    bscale = max(abs(v) for v in b2_mp.ravel())
+    for g, w in zip(Br.ravel(), b2_mp.ravel()):
+        assert abs(g - w) < mpmath.mpf(2) ** (-53 * k + 60) * bscale
+    X = hxf_solve_tril(L, Y, trans=True)
+    GX = hxf_matmul(G, X).to_mp()
+    for g, w in zip(GX.ravel(), b2_mp.ravel()):
+        assert abs(g - w) < mpmath.mpf(2) ** (-53 * k + 170) * bscale
+
+    LU, perm, ok = hxf_lu(G)
+    assert ok
+    XL = hxf_lu_solve(LU, perm, B2)
+    GXL = hxf_matmul(G, XL).to_mp()
+    for g, w in zip(GXL.ravel(), b2_mp.ravel()):
+        assert abs(g - w) < mpmath.mpf(2) ** (-53 * k + 170) * bscale

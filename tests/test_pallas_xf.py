@@ -136,3 +136,84 @@ def test_matmul_pallas_k_interpret_vs_mpmath(k, batch, n, K, m):
     for idx in np.ndindex(C.shape):
         err = abs(float(gm[idx] - C[idx]))
         assert err <= tol, (idx, err, tol)
+
+
+# ---------------------------------------------------------------------------
+# k-limb fused SPD inverse
+# ---------------------------------------------------------------------------
+
+
+def make_spd_limbs_k(rng, B, n, k, cond=1e6, dtype=np.float64):
+    """SPD blocks lifted to k limbs (exact in the leading limb)."""
+    out = np.zeros((B, k, n, n), dtype)
+    for b in range(B):
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.logspace(0, np.log10(cond), n)
+        A = (Q * lam) @ Q.T
+        out[b, 0] = ((A + A.T) / 2).astype(dtype)
+    return out
+
+
+@pytest.mark.parametrize("k,n", [(3, 5), (4, 8), (4, 1), (6, 7)])
+def test_pallas_spd_inverse_k_reconstruction(k, n):
+    """A @ inv(A) == I well beyond dd accuracy (the whole point of k>2).
+
+    Interpret-mode loop carries degrade the LAST limbs (see module
+    docstring), so the reconstruction check targets ~(k-1)-limb quality
+    rather than the full k-limb floor."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops.pallas_xf import xf_spd_inverse_pallas_k
+    from clrs_tpu.ops.xfloat import XF, xf_matmul
+
+    rng = np.random.default_rng(100 + 7 * k + n)
+    B = 2
+    limbs = make_spd_limbs_k(rng, B, n, k, cond=1e8)
+    inv, ok = xf_spd_inverse_pallas_k(jnp.asarray(limbs), interpret=True)
+    assert bool(jnp.all(ok)), (k, n)
+    mpmath.mp.prec = 60 * k + 120
+    for b in range(B):
+        A = XF(jnp.asarray(limbs[b]))
+        Inv = XF(jnp.asarray(inv[b]))
+        R = xf_matmul(A, Inv)
+        Rm = np.array(xf_to_mp(R.reshape((-1,))), dtype=object).reshape(n, n)
+        err = np.max(np.abs((Rm - np.eye(n)).astype(np.float64)))
+        # cond ~ 1e8 costs ~27 bits; (k-1) limbs ~ 2^-53(k-1)
+        bound = 1e8 * 2.0 ** (-53 * (k - 1)) * 64
+        assert err < bound, (k, n, b, err, bound)
+
+
+def test_pallas_spd_inverse_k_flags_indefinite():
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops.pallas_xf import xf_spd_inverse_pallas_k
+
+    rng = np.random.default_rng(11)
+    limbs = make_spd_limbs_k(rng, 2, 6, 4)
+    limbs[1, 0] = -limbs[1, 0]
+    _, ok = xf_spd_inverse_pallas_k(jnp.asarray(limbs), interpret=True)
+    ok = np.asarray(ok)
+    assert bool(ok[0]) and not bool(ok[1])
+
+
+def test_pallas_spd_inverse_k_f32_limbs():
+    """f32-limb (TPU numerics) k=4 variant: ~96-bit significand."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops.pallas_xf import xf_spd_inverse_pallas_k
+    from clrs_tpu.ops.xfloat import XF, xf_matmul
+
+    rng = np.random.default_rng(12)
+    n, k = 8, 4
+    limbs = make_spd_limbs_k(rng, 2, n, k, cond=1e4, dtype=np.float32)
+    inv, ok = xf_spd_inverse_pallas_k(jnp.asarray(limbs), interpret=True)
+    assert bool(jnp.all(ok))
+    mpmath.mp.prec = 200
+    for b in range(2):
+        A = XF(jnp.asarray(limbs[b]))
+        Inv = XF(jnp.asarray(inv[b]))
+        R = xf_matmul(A, Inv)
+        Rm = np.array(xf_to_mp(R.reshape((-1,))), dtype=object).reshape(n, n)
+        err = np.max(np.abs((Rm - np.eye(n)).astype(np.float64)))
+        # 3 good f32 limbs ~ 2^-72; cond 1e4 ~ 2^13
+        assert err < 1e4 * 2.0**-72 * 64, (b, err)
