@@ -356,10 +356,10 @@ def _matmul_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     k, B, n, K = a_limbs.shape
     m = b_limbs.shape[-1]
     dtype = a_limbs.dtype
-    # smaller contraction chunks than dd: the per-update cascade body is
-    # ~k^2/2 two_prods + O(k^2) two_sums, so kc=8 at k>=4 makes very long
-    # Mosaic bodies for little gain
-    kc = _pick_kc(K) if k <= 3 else min(_pick_kc(K), 4)
+    # same contraction chunking as dd: Mosaic requires the kc block dim be
+    # 8-divisible (or the full axis), so sub-8 chunks are not an option —
+    # the k>=4 cascade bodies are long but compile fine (measured v5e)
+    kc = _pick_kc(K)
     Kp = ((K + kc - 1) // kc) * kc
     if Kp != K:  # zero-pad the contraction axis (exact)
         a_limbs = jnp.pad(a_limbs, ((0, 0),) * 3 + ((0, Kp - K),))

@@ -126,8 +126,8 @@ def test_matmul_pallas_k_interpret_vs_mpmath(k, batch, n, K, m):
     )
     v0 = np.asarray(got.limbs, np.float64)[0]
     scale_max = float(np.max(np.abs(v0))) or 1.0
-    kc = 8 if k <= 3 else 4
-    single_step = batch == () and K <= kc
+    # mirrors _pick_kc: one grid step iff K pads to <= 32 and no batch loop
+    single_step = batch == () and ((K + 7) // 8) * 8 <= 32
     if single_step:
         # value-level bound: one limb of slack beyond the (k-1)-limb level
         tol = scale_max * 2.0 ** (-50 * (k - 1))
