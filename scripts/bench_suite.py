@@ -93,7 +93,29 @@ def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3, phases_too=True):
             st, _d2 = tick("update", phases["update"], problem, st, dx, dy,
                            dX, dY, ap, ad, pd, P, p, dr, mu, beta_c)
         phase_ms = {kk: round(1000.0 * v / 6, 3) for kk, v in acc.items()}
-    return rate, gap, ok, phase_ms
+    # MFU accounting (VERDICT r2 item 2 / BASELINE.json north star): the
+    # scan-rate number is dispatch-free, so iteration_flops * rate / peak
+    # is the honest whole-iteration utilization; the phase-split decomp
+    # MFU is dispatch-inflated (remote-tunnel ~30 ms/call) and reported
+    # as a lower bound only.
+    mfu = {}
+    try:
+        from clrs_tpu.utils.flops import (
+            decomp_flops, iteration_flops, vpu_peak_flops,
+        )
+
+        kind = jax.devices()[0].device_kind
+        peak = vpu_peak_flops(kind)
+        k = problem.b.k
+        mfu["iter_vpu_mfu_scan"] = round(
+            iteration_flops(problem.info, k) * rate / peak, 4)
+        if "decomp" in phase_ms and phase_ms["decomp"] > 0:
+            mfu["decomp_vpu_mfu_phase_split_lower_bound"] = round(
+                decomp_flops(problem.info, k)
+                / (phase_ms["decomp"] / 1e3) / peak, 4)
+    except Exception:  # noqa: BLE001 — flop model must never break a bench
+        pass
+    return rate, gap, ok, phase_ms, mfu
 
 
 def config_1():
@@ -289,11 +311,11 @@ def main():
                     ok=kw["ok"],
                 )))
                 continue
-            rate, gap, ok, phase_ms = measure_rate(problem, kw)
+            rate, gap, ok, phase_ms, mfu = measure_rate(problem, kw)
             print(json.dumps(dict(
                 config=c, metric=f"IPM iterations/s, {name}", value=round(rate, 2),
                 unit="iterations/s", platform=platform, gap_after_20=gap, ok=ok,
-                phase_ms_per_iter=phase_ms,
+                phase_ms_per_iter=phase_ms, mfu=mfu,
             )))
         except Exception as e:  # noqa: BLE001
             print(json.dumps(dict(config=c, error=repr(e)[:200])))
