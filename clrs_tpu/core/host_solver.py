@@ -41,6 +41,7 @@ from clrs_tpu.core.hostxf import (
     hxf_spd_inverse,
     hxf_sum,
     hxf_sym,
+    hxf_syrk,
 )
 
 
@@ -507,11 +508,11 @@ def solve_host(
             fac_j, okj = _factor_s(S_j)
             tj2 = time.time()
             if fac_j[0] == "chol":
-                # W = L^-1 B; S^-1 B = L^-T W; Q_j = W^T W (bitwise
-                # symmetric by construction)
+                # W = L^-1 B; S^-1 B = L^-T W; Q_j = W^T W via the
+                # symmetric-output syrk (half the gemm's cascade ops)
                 W = hxf_solve_tril(fac_j[1], hp.B[j])
                 SB = hxf_solve_tril(fac_j[1], W, trans=True)
-                Qj = hxf_matmul(W, W, ta=True)
+                Qj = hxf_syrk(W)
             else:
                 SB = _fsolve(fac_j, hp.B[j])
                 Qj = hxf_matmul(hp.B[j], SB, ta=True)

@@ -74,6 +74,7 @@ def _build() -> ctypes.CDLL:
     lib.xk_gemm.argtypes = [
         ctypes.c_int, I64, I64, I64, DP, DP, DP, ctypes.c_int, ctypes.c_int,
     ]
+    lib.xk_syrk.argtypes = [ctypes.c_int, I64, I64, DP, DP]
     lib.xk_cholesky.argtypes = [ctypes.c_int, I64, DP, DP]
     lib.xk_cholesky.restype = ctypes.c_int
     lib.xk_trsm_lower.argtypes = [
@@ -317,6 +318,18 @@ def hxf_matmul(a: HXF, b: HXF, ta: bool = False, tb: bool = False) -> HXF:
         a.k, am, ap, bn, _dp(al), _dp(bl), _dp(out),
         1 if ta else 0, 1 if tb else 0,
     )
+    return HXF(out)
+
+
+def hxf_syrk(a: HXF) -> HXF:
+    """C = a^T @ a for a (p, n): ~2x fewer cascade ops than hxf_matmul
+    (only j >= i computed, lower mirrored) and EXACTLY symmetric output;
+    computed entries bit-identical to hxf_matmul(a, a, ta=True)."""
+    assert a.ndim == 2, a.shape
+    p, n = a.shape
+    out = np.empty((a.k, n, n), dtype=np.float64)
+    al = _c(a.limbs)
+    get_lib().xk_syrk(a.k, p, n, _dp(al), _dp(out))
     return HXF(out)
 
 

@@ -562,6 +562,55 @@ static void t_gemm(int64_t m, int64_t p, int64_t n, const double *A,
     gemm_row_scalar<K>(i, 0, m, p, n, A, B, C, ta, tb);
 }
 
+// C = A^T A (A: (p, n) row-major) -> C (n, n): only columns j >= i are
+// computed (from the 8-aligned block containing i in the vector path; a
+// few j < i lanes in that block are computed redundantly), then the
+// strict lower triangle is mirrored from the upper.  ~2x fewer cascade
+// ops than the general gemm for the Q = W^T W assembly, and the result
+// is EXACTLY symmetric — the gemm's C[j,i] recomputes the commuted
+// products, whose error-term sums can differ in the low limbs.  Computed
+// entries are bit-identical to t_gemm(A, A, ta=1): same per-element
+// accumulation sequence.
+template <int K>
+static void t_syrk(int64_t p, int64_t n, const double *A, double *C) {
+  const int64_t asz = p * n, csz = n * n;
+#ifdef XK_HAVE_AVX512
+  if (n >= 8) {
+    const int64_t nv = n & ~(int64_t)7;
+    // dynamic schedule: row i owns n - (i & ~7) output columns, so work
+    // decreases down the rows (disjoint writes; order-independent)
+#pragma omp parallel for schedule(dynamic, 4) if (n * n * p >= 8192)
+    for (int64_t i = 0; i < n; ++i) {
+      __m512d acc[K], xv[K], yv[K], pr[K];
+      double x[K];
+      for (int64_t j0 = i & ~(int64_t)7; j0 < nv; j0 += 8) {
+        for (int l = 0; l < K; ++l) acc[l] = _mm512_setzero_pd();
+        for (int64_t t = 0; t < p; ++t) {
+          gather<K>(A, asz, t * n + i, x);
+          vbcast_limbs<K>(x, xv);
+          vload<K>(A, asz, t * n + j0, yv);
+          sc_mul<K, __m512d>(xv, yv, pr);
+          sc_add<K, __m512d>(acc, pr, acc);
+        }
+        vstore<K>(C, csz, i * n + j0, acc);
+      }
+      if (nv < n)
+        gemm_row_scalar<K>(i, nv > i ? nv : i, n, p, n, A, A, C, 1, 0);
+    }
+  } else
+#endif
+  {
+#pragma omp parallel for schedule(dynamic, 4) if (n * n * p >= 4096)
+    for (int64_t i = 0; i < n; ++i)
+      gemm_row_scalar<K>(i, i, n, p, n, A, A, C, 1, 0);
+  }
+  for (int l = 0; l < K; ++l) {
+    double *Cl = C + (int64_t)l * csz;
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = i + 1; j < n; ++j) Cl[j * n + i] = Cl[i * n + j];
+  }
+}
+
 // Cholesky: A (k, n, n) symmetric -> L lower (k, n, n); returns 1 if ok,
 // 0 if a pivot is <= 0 (not numerically SPD at this precision -- caller
 // escalates per the reference ladder, MPMP.jl:762-801).
@@ -943,6 +992,10 @@ double xk_max_abs(int k, int64_t n, const double *a) {
 void xk_gemm(int k, int64_t m, int64_t p, int64_t n, const double *A,
              const double *B, double *C, int ta, int tb) {
   XK_DISPATCH(k, t_gemm<TK>(m, p, n, A, B, C, ta, tb));
+}
+
+void xk_syrk(int k, int64_t p, int64_t n, const double *A, double *C) {
+  XK_DISPATCH(k, t_syrk<TK>(p, n, A, C));
 }
 
 int xk_cholesky(int k, int64_t n, const double *A, double *L) {

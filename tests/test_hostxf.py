@@ -279,3 +279,34 @@ def test_wide_kernels_cover_avx_lanes(k):
     GXL = hxf_matmul(G, XL).to_mp()
     for g, w in zip(GXL.ravel(), b2_mp.ravel()):
         assert abs(g - w) < mpmath.mpf(2) ** (-53 * k + 170) * bscale
+
+
+@pytest.mark.parametrize("k,p,n", [(2, 5, 4), (5, 13, 17), (10, 9, 23)])
+def test_syrk_matches_gemm_upper_and_symmetric(k, p, n):
+    """xk_syrk: upper triangle bit-identical to gemm(a, a, ta=True),
+    exactly symmetric output (the gemm's lower triangle recomputes
+    commuted products and may differ in low limbs — syrk mirrors)."""
+    from clrs_tpu.core.hostxf import hxf_syrk
+
+    mpmath.mp.prec = 1400
+    rng = np.random.default_rng(70 + k)
+    a_mp = _rand_mp(rng, (p, n), span=10)
+    A = HXF.from_mp(a_mp, k=k)
+    C = hxf_syrk(A)
+    G = hxf_matmul(A, A, ta=True)
+    # upper triangle (incl. diagonal): bit-identical to the gemm
+    for i in range(n):
+        for j in range(i, n):
+            np.testing.assert_array_equal(
+                C.limbs[:, i, j], G.limbs[:, i, j], err_msg=f"({i},{j})")
+    # exact symmetry
+    np.testing.assert_array_equal(
+        C.limbs, np.swapaxes(C.limbs, 1, 2))
+    # value correctness vs mpmath
+    eps = mpmath.mpf(2) ** (-53 * k + 16)
+    Cm = C.to_mp()
+    for i in range(n):
+        for j in range(i, n):
+            w = mpmath.fsum(a_mp[t, i] * a_mp[t, j] for t in range(p))
+            assert abs(Cm[i, j] - w) / (abs(w) + mpmath.mpf(2) ** -1300) \
+                < eps, (i, j)
