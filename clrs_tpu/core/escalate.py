@@ -21,6 +21,7 @@ the user.  Here it is automated as a two-stage ladder:
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -32,8 +33,17 @@ from clrs_tpu.core.solver import SolveResult, solverank1sdp
 from clrs_tpu.ops.xfloat import XF
 
 
-def _reround_state(state, k: int, dtype=None):
-    def conv(x) -> XF:
+def _reround_state(state, k: int, dtype=None, host: bool = False):
+    """Pad/truncate the iterate's limb counts for the next rung.
+
+    host=True keeps the limbs as NUMPY-backed HXF values: the host rungs
+    must NEVER round-trip through jnp — on a TPU-backend process,
+    jnp.asarray places f64 data in the TPU's non-IEEE f32-pair emulation,
+    whose storage roundtrip re-rounds limb 0 and ZEROES the low limbs
+    (CLAUDE.md), silently destroying the warm start (found round 3: the
+    warm-started host rung failed its first Cholesky on a mangled X)."""
+
+    def conv(x):
         limbs = np.asarray(x.limbs)
         if dtype is not None and limbs.dtype != dtype:
             # exact: every f32 limb is exactly representable in f64 (and a
@@ -44,6 +54,10 @@ def _reround_state(state, k: int, dtype=None):
             limbs = np.concatenate([limbs, pad], axis=0)
         else:
             limbs = limbs[:k]
+        if host:
+            from clrs_tpu.core.hostxf import HXF
+
+            return HXF(limbs)
         return XF(jnp.asarray(limbs))
 
     x, y, X, Y = state
@@ -102,6 +116,11 @@ def solve_with_escalation(
     state = ()
     res = None
     best = None
+    rung_log = []  # per-rung summaries, attached to the result as .rungs
+
+    def _finish(r):
+        r.rungs = list(rung_log)
+        return r
 
     def merit(r):
         if not r.history:
@@ -119,6 +138,7 @@ def solve_with_escalation(
     remaining = kwargs.pop("maxiterations", 500)
     escalatable = True
     for rung, k in enumerate(k_ladder):
+        t_rung = time.time()
         if verbose and rung > 0:
             print(f"[escalate] restarting at k={k} limbs (warm start)")
         if isolate_slow_compiles and subproc.needs_isolation(k):
@@ -167,8 +187,11 @@ def solve_with_escalation(
                 maxiterations=remaining,
                 **kwargs,
             )
+        rung_log.append(dict(
+            path="device", k=k, iterations=res.iterations,
+            status=res.status, wall=round(time.time() - t_rung, 2)))
         if res.converged:
-            return res
+            return _finish(res)
         consider(res)
         escalatable = (
             res.status.startswith(("numerical_failure", "overflow"))
@@ -185,6 +208,7 @@ def solve_with_escalation(
         from clrs_tpu.core.host_solver import solverank1sdp_host
 
         for k in host_ladder:
+            t_rung = time.time()
             if verbose:
                 print(
                     f"[escalate] restarting on the HOST path at k={k} f64 "
@@ -193,7 +217,8 @@ def solve_with_escalation(
             init = ()
             if res is not None and len(state) == 4:
                 init = _reround_state(
-                    (res.x, res.y, res.X, res.Y), k, dtype=np.float64
+                    (res.x, res.y, res.X, res.Y), k, dtype=np.float64,
+                    host=True,
                 )
             res = solverank1sdp_host(
                 constraints,
@@ -207,8 +232,11 @@ def solve_with_escalation(
                 maxiterations=remaining,
                 **kwargs,
             )
+            rung_log.append(dict(
+                path="host", k=k, iterations=res.iterations,
+                status=res.status, wall=round(time.time() - t_rung, 2)))
             if res.converged:
-                return res
+                return _finish(res)
             consider(res)
             if not (
                 res.status.startswith("numerical_failure")
@@ -216,4 +244,4 @@ def solve_with_escalation(
             ):
                 break
             remaining = max(10, remaining - res.iterations)
-    return best if best is not None else res
+    return _finish(best if best is not None else res)

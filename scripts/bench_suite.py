@@ -157,6 +157,9 @@ def config_2():
     if os.environ.get("CLRS_SUITE_PALLAS"):
         kw["use_pallas_matmul"] = True
         label += " +pallas-matmul"
+    if os.environ.get("CLRS_SUITE_PALLAS_INV"):
+        kw["use_pallas_inverse"] = True
+        label += " +pallas-inverse"
     if os.environ.get("CLRS_SUITE_MXU"):
         kw["use_mxu_matmul"] = True
         label += " +mxu-matmul"
