@@ -719,6 +719,11 @@ def solve_host(
         tphase = timed("alpha", tphase)
 
         # ---- update + metrics (MPMP.jl:877-887, 1027-1092) ----
+        # snapshot: this iteration's P/p/d (and the merit below) belong to
+        # the PRE-update iterate — the stall guard must return this state,
+        # not the post-update one (found round 3: an explosive final step
+        # made "best" return the exploded iterate, p_err 2e-59 -> 1e10)
+        prev_state = (x, y, X, Y)
         ap = HXF.from_float(alpha_p, k=k)
         ad = HXF.from_float(alpha_d, k=k)
         x = x + dx * ap
@@ -767,7 +772,7 @@ def solve_host(
             merit = np.inf
         if merit < best_merit:
             best_merit = merit
-            best_state = (x, y, X, Y)
+            best_state = prev_state  # the state the residuals measure
             best_row = row
             best_res = (P, p, d)
             stall_count = 0

@@ -1030,6 +1030,11 @@ def solverank1sdp(
         if not (bool(np.asarray(ok_p)) and bool(np.asarray(ok_d))):
             status = classify_failure("steplength", dX, dY)
             break
+        # this iteration's P/p/d (and the merit below) measure the
+        # PRE-update iterate; the stall guard must return that state, not
+        # the post-update one (an explosive final step otherwise makes
+        # "best" the exploded iterate — found round 3 on the host path)
+        prev_state = state
         state, diag = timed(
             "update",
             phases["update"],
@@ -1079,7 +1084,7 @@ def solverank1sdp(
             merit = np.inf
         if merit < best_merit:
             best_merit = merit
-            best_state = state
+            best_state = prev_state  # the state the residuals measure
             best_row = row
             best_res = (P, p, d)
             stall_count = 0

@@ -835,7 +835,9 @@ def solve_hetero_sharded(
         if not np.isfinite(merit):
             merit = np.inf
         if merit < best[0]:
-            best = (merit, state, diag, history[-1])
+            # prev_state: this step's residual errors measure the
+            # pre-update iterate (same off-by-one as the core drivers)
+            best = (merit, prev_state, diag, history[-1])
             stall = 0
         else:
             stall += cfg.blowup_weight if merit > best[0] * cfg.blowup_factor else 1

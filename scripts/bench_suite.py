@@ -163,6 +163,13 @@ def config_2():
     if os.environ.get("CLRS_SUITE_MXU"):
         kw["use_mxu_matmul"] = True
         label += " +mxu-matmul"
+    if os.environ.get("CLRS_SUITE_C2_LU"):
+        # S loses Cholesky-positivity within a few iterations on this
+        # config at k=4 f32 (the host driver's sticky ladder switches to
+        # LU; a device-resident scan cannot), so the healthy-numerics
+        # scan measurement runs LU-from-start
+        kw["use_lu_schur"] = True
+        label += " +lu-schur"
     return problem, kw, label
 
 
