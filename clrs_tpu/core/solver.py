@@ -122,14 +122,26 @@ class SolverConfig:
     # Cholesky+solve+W^T W per block in ONE kernel, VMEM-resident — removes
     # the per-column launch latency of the XLA fori_loop factorization and
     # keeps high-k factorizations off the XLA compile path
-    use_pallas_matmul: Optional[bool] = None  # dd (k=2) pairing/
-    # weighted-A/trace products through the fused Pallas outer-product
-    # matmul (ops/pallas_xf.py): whole contraction VMEM-resident, no
-    # EFT-barrier fusion breaks.  Default None = AUTO: on for the TPU
+    use_pallas_matmul: Optional[bool] = None  # pairing/weighted-A/trace
+    # products through the fused Pallas matmuls (ops/pallas_xf.py): the
+    # tuned dd kernel at k=2, the limb-count-parameterized cascade kernel
+    # at k in 3..8 — whole contraction VMEM-resident, no EFT-barrier
+    # fusion breaks, and at k>=3 every matmul moved into the custom-call
+    # also shrinks the XLA compile.  Default None = AUTO: on for the TPU
     # backend (measured round 2 on v5e: +16% it/s on BASELINE config 2,
     # sphere packing 2d=30; small products auto-fall back to the XLA path
     # inside the dispatch, so small-block configs are unchanged), off on
     # CPU.
+
+    use_pallas_steplength: Optional[bool] = None  # step-length sandwich
+    # L^-1 dM L^-T through the fused Pallas kernel (ops/pallas_xf.py,
+    # k-limb Cholesky + two triangular solves in ONE kernel per block
+    # group; the Jacobi eigenvalue bound stays in XLA).  Default None =
+    # off (flip per-measurement; the XLA path is the proven default).
+
+    @property
+    def _steplength_pallas(self) -> bool:
+        return bool(self.use_pallas_steplength)
 
     @property
     def _matmul_mode(self):
@@ -597,15 +609,57 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
     return dx, dX, dy, dY
 
 
-def compute_step_length(M, dM, gamma: float, info: BlockInfo):
+def compute_step_length(M, dM, gamma: float, info: BlockInfo,
+                        use_pallas: bool = False):
     """alpha = min(1, -gamma/lambda_min), lambda_min over all blocks
     (MPMP.jl:1829-1898), batched.  Returns (alpha_f64, ok)."""
     from clrs_tpu.core.batched import map_block_scalar
 
-    lam, ok = map_block_scalar(xf_min_eig_sym, info, M, dM)
+    if use_pallas:
+        lam, ok = _step_length_lambda_pallas(M, dM, info)
+    else:
+        lam, ok = map_block_scalar(xf_min_eig_sym, info, M, dM)
     alpha = jnp.where(lam > -gamma, 1.0, -gamma / jnp.minimum(lam, -1e-300))
     alpha = jnp.minimum(alpha, 1.0)
     return alpha, ok
+
+
+def _step_length_lambda_pallas(M, dM, info: BlockInfo):
+    """lambda_min via the fused Pallas sandwich kernel: the k-limb
+    Cholesky + two triangular solves run in ONE kernel per block-size
+    group (ops/pallas_xf.xf_steplen_sandwich_pallas_k), the Jacobi
+    eigenvalue bound stays in XLA on the value-rounded output (same
+    native-dtype accuracy the XLA path feeds it).  Scalar blocks keep
+    the XLA path (lam = dM/M, no factorization to fuse)."""
+    from clrs_tpu.core.batched import block_groups, stack_xf
+    from clrs_tpu.ops.linalg import jacobi_min_eig
+    from clrs_tpu.ops.pallas_xf import xf_steplen_sandwich_pallas_k
+
+    interpret = jax.default_backend() == "cpu"
+    val = jnp.inf
+    ok = jnp.bool_(True)
+    for size, jls in block_groups(info).items():
+        Ms = stack_xf([M[j][l] for (j, l) in jls])
+        Ds = stack_xf([dM[j][l] for (j, l) in jls])
+        if size == 1:
+            if len(jls) == 1:
+                v, okb = xf_min_eig_sym(Ms[0], Ds[0])
+                vs, oks = v[None], okb[None]
+            else:
+                vs, oks = jax.vmap(
+                    xf_min_eig_sym, in_axes=1, out_axes=(0, 0))(Ms, Ds)
+            val = jnp.minimum(val, jnp.min(vs))
+            ok = ok & jnp.all(oks)
+            continue
+        W, okb = xf_steplen_sandwich_pallas_k(
+            jnp.swapaxes(Ms.limbs, 0, 1), jnp.swapaxes(Ds.limbs, 0, 1),
+            interpret=interpret,
+        )
+        Ws = (W + jnp.swapaxes(W, -1, -2)) * 0.5
+        lam = jax.vmap(jacobi_min_eig)(Ws)
+        val = jnp.minimum(val, jnp.min(lam).astype(jnp.float64))
+        ok = ok & jnp.all(okb)
+    return val, ok
 
 
 def compute_error_bd(P) -> XF:
@@ -720,7 +774,8 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
 
     @jax.jit
     def phase_steplength(M, dM):
-        return compute_step_length(M, dM, cfg.gamma, info)
+        return compute_step_length(M, dM, cfg.gamma, info,
+                                   use_pallas=cfg._steplength_pallas)
 
     @jax.jit
     def phase_update(problem, state, dx, dy, dX, dY, alpha_p, alpha_d, pd_feas, P, p, d, mu, beta_c):

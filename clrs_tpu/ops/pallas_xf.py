@@ -563,3 +563,158 @@ def xf_spd_inverse_pallas_k_batched(x_limbs: jnp.ndarray,
         jnp.swapaxes(x_limbs, 0, 1), interpret=interpret
     )
     return jnp.swapaxes(inv, 0, 1), ok
+
+
+# ---------------------------------------------------------------------------
+# k-limb fused step-length sandwich: W = L^-1 dM L^-T with M = L L^T
+# ---------------------------------------------------------------------------
+
+
+def _steplen_sandwich_kernel_k(m_ref, dm_ref, out_ref, okf_ref, l_ref, w_ref,
+                               *, n: int, k: int, barrier: bool):
+    """One block of the step-length oracle (MPMP.jl:1842-1880): Cholesky
+    of M, forward solve W1 = L^-1 dM, then column-oriented forward solve
+    X = W1 L^-T, all in k-limb VMEM arithmetic; the OUTPUT is the plain
+    (value-rounded) matrix for the native-dtype Jacobi eigenvalue bound
+    (ops/linalg.jacobi_min_eig) — the consumer needs ~1e-6 relative
+    accuracy (gamma slack), so limb0+limb1 suffices.  Same Mosaic rules
+    as the SPD-inverse kernel."""
+    xo = _XOps(barrier, k)
+    dtype = m_ref.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    l_ref[...] = jnp.zeros((k, n, n), dtype)
+    okf_ref[0, 0, :] = jnp.ones((n,), dtype)
+    M = [m_ref[0, i, :, :] for i in range(k)]
+
+    def chol_col(j, _):
+        L = [l_ref[i] for i in range(k)]
+        rowsel = jnp.where(rows == j, one, zero)
+        colsel = jnp.where(cols == j, one, zero)
+        rowj = [jnp.sum(Li * rowsel, axis=0) for Li in L]
+        Mj = [jnp.sum(Mi * colsel, axis=1) for Mi in M]
+        p = xo.mul(L, [r[None, :] for r in rowj])
+        acc = xo.sum_axis(p, axis=1)
+        s = xo.add(Mj, xo.neg(acc))
+        onej = jnp.where(rows[:, 0] == j, one, zero)
+        djj = [
+            jnp.sum(jnp.broadcast_to(si[None, :] * onej[None, :], (n, n)),
+                    axis=1)
+            for si in s
+        ]
+        flag = jnp.where(djj[0] > 0, one, zero)
+        okf_ref[0, 0, :] = jnp.where(cols[0, :] == j, flag, okf_ref[0, 0, :])
+        safe = [jnp.where(djj[0] > 0, djj[0], one)] + [
+            jnp.where(djj[0] > 0, djj[i], zero) for i in range(1, k)
+        ]
+        ljj = xo.sqrt(safe)
+        c = xo.div(s, ljj)
+        below = rows[:, 0] > j
+        at = rows[:, 0] == j
+        for i in range(k):
+            ci = jnp.where(at, ljj[i], jnp.where(below, c[i], 0.0))
+            l_ref[i] = jnp.where(cols == j, ci[:, None], L[i])
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_col, jnp.int32(0),
+                      unroll=False)
+
+    # W1 = L^-1 dM, forward substitution by row (rows of dM as RHS)
+    w_ref[...] = jnp.zeros((k, n, n), dtype)
+    dM = [dm_ref[0, i, :, :] for i in range(k)]
+
+    def solve_row(i, _):
+        L = [l_ref[q] for q in range(k)]
+        W = [w_ref[q] for q in range(k)]
+        rowsel = jnp.where(rows == i, one, zero)
+        rowl = [jnp.sum(Lq * rowsel, axis=0) for Lq in L]
+        rowb = [jnp.sum(Dq * rowsel, axis=0) for Dq in dM]   # dM[i, :]
+        p = xo.mul([r[:, None] for r in rowl], W)
+        acc = xo.sum_axis(p, axis=0)
+        nrm = xo.add(rowb, xo.neg(acc))
+        onei = jnp.where(rows[:, 0] == i, one, zero)
+        d = [
+            jnp.sum(jnp.broadcast_to(r[None, :] * onei[None, :], (n, n)),
+                    axis=1)
+            for r in rowl
+        ]
+        qv = xo.div(nrm, d)
+        for q in range(k):
+            w_ref[q] = jnp.where(rows == i, qv[q][None, :], W[q])
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_row, jnp.int32(0),
+                      unroll=False)
+
+    # X = W1 L^-T, column-oriented forward substitution:
+    # X[:, j] = (W1[:, j] - sum_{t<j} X[:, t] L[j, t]) / L[j, j].
+    # X overwrites the W scratch column by column (columns >= j still
+    # hold W1, but the masked contraction below only reads t < j).
+    def solve_col(j, _):
+        L = [l_ref[q] for q in range(k)]
+        W = [w_ref[q] for q in range(k)]
+        rowsel = jnp.where(rows == j, one, zero)
+        colsel = jnp.where(cols == j, one, zero)
+        rowl = [jnp.sum(Lq * rowsel, axis=0) for Lq in L]    # L[j, :]
+        colw = [jnp.sum(Wq * colsel, axis=1) for Wq in W]    # W1[:, j]
+        # mask L[j, t] to t < j so only finished X columns contribute
+        tmask = jnp.where(cols[0, :] < j, one, zero)
+        rowl_m = [r * tmask for r in rowl]
+        p = xo.mul(W, [r[None, :] for r in rowl_m])
+        acc = xo.sum_axis(p, axis=1)
+        nrm = xo.add(colw, xo.neg(acc))
+        onej = jnp.where(rows[:, 0] == j, one, zero)
+        d = [
+            jnp.sum(jnp.broadcast_to(r[None, :] * onej[None, :], (n, n)),
+                    axis=1)
+            for r in rowl
+        ]
+        qv = xo.div(nrm, d)
+        for q in range(k):
+            w_ref[q] = jnp.where(cols == j, qv[q][:, None], W[q])
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_col, jnp.int32(0),
+                      unroll=False)
+
+    out_ref[0, :, :] = w_ref[0] + w_ref[1]  # value for the Jacobi bound
+
+
+def xf_steplen_sandwich_pallas_k(m_limbs: jnp.ndarray, dm_limbs: jnp.ndarray,
+                                 interpret: bool = False):
+    """Batched fused step-length sandwich: (B, k, n, n) x2 ->
+    (W (B, n, n) plain dtype, ok (B,) bool).  One grid program per block;
+    the k-limb Cholesky + two triangular solves never touch XLA HLO."""
+    B, k, n, _ = m_limbs.shape
+    dtype = m_limbs.dtype
+    kernel = functools.partial(_steplen_sandwich_kernel_k, n=n, k=k,
+                               barrier=interpret)
+    w, okf = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, k, n, n), lambda b: (b, _i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, n, n), lambda b: (b, _i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, n), lambda b: (b, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b: (b, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n, n), dtype),
+            jax.ShapeDtypeStruct((B, 1, n), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, n, n), dtype),  # L
+            pltpu.VMEM((k, n, n), dtype),  # W1 -> X
+        ],
+        interpret=interpret,
+    )(m_limbs, dm_limbs)
+    return w, jnp.all(okf > 0.5, axis=(1, 2))

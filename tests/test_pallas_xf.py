@@ -217,3 +217,86 @@ def test_pallas_spd_inverse_k_f32_limbs():
         err = np.max(np.abs((Rm - np.eye(n)).astype(np.float64)))
         # 3 good f32 limbs ~ 2^-72; cond 1e4 ~ 2^13
         assert err < 1e4 * 2.0**-72 * 64, (b, err)
+
+
+# ---------------------------------------------------------------------------
+# k-limb fused step-length sandwich
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k,n", [(2, 6), (4, 9), (6, 5)])
+def test_pallas_steplen_sandwich_k(k, n):
+    """W = L^-1 dM L^-T value vs a numpy float64 oracle (the consumer is
+    the Jacobi min-eig bound, which needs ~1e-6 relative accuracy)."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops.pallas_xf import xf_steplen_sandwich_pallas_k
+
+    rng = np.random.default_rng(50 + 10 * k + n)
+    B = 3
+    m_l = np.zeros((B, k, n, n))
+    dm_l = np.zeros((B, k, n, n))
+    for b in range(B):
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        m_l[b, 0] = (Q * np.logspace(0, 4, n)) @ Q.T
+        D = rng.standard_normal((n, n))
+        dm_l[b, 0] = (D + D.T) / 2
+    W, ok = xf_steplen_sandwich_pallas_k(
+        jnp.asarray(m_l), jnp.asarray(dm_l), interpret=True)
+    assert bool(jnp.all(ok))
+    for b in range(B):
+        L = np.linalg.cholesky(m_l[b, 0])
+        want = np.linalg.solve(L, np.linalg.solve(L, dm_l[b, 0]).T)
+        got = np.asarray(W[b], np.float64)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() < 1e-10 * scale, (k, n, b)
+        # eigenvalue-bound consumers: min eig agreement
+        ev_w = np.linalg.eigvalsh((want + want.T) / 2).min()
+        ev_g = np.linalg.eigvalsh((got + got.T) / 2).min()
+        assert abs(ev_w - ev_g) < 1e-8 * max(1.0, abs(ev_w))
+
+
+def test_pallas_steplen_sandwich_flags_not_spd():
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops.pallas_xf import xf_steplen_sandwich_pallas_k
+
+    rng = np.random.default_rng(3)
+    n = 5
+    m_l = np.zeros((2, 3, n, n))
+    dm_l = np.zeros((2, 3, n, n))
+    A = rng.standard_normal((n, n))
+    m_l[0, 0] = A @ A.T + np.eye(n)
+    m_l[1, 0] = -(A @ A.T) - np.eye(n)  # negative definite
+    _, ok = xf_steplen_sandwich_pallas_k(
+        jnp.asarray(m_l), jnp.asarray(dm_l), interpret=True)
+    ok = np.asarray(ok)
+    assert bool(ok[0]) and not bool(ok[1])
+
+
+def test_solver_pallas_steplength_equivalent():
+    """use_pallas_steplength reproduces the XLA step-length path's
+    trajectory (same Jacobi-bound accuracy fed from the fused kernel)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import numpy as np
+
+    import __graft_entry__ as g
+    import clrs_tpu.core.solver as S
+
+    problem = g._tiny_delsarte_problem(d=2, k=2, dtype=np.float64)
+    res = []
+    for flag in (False, True):
+        r = S.solverank1sdp(
+            problem=problem, omega_p=100.0, omega_d=100.0,
+            maxiterations=40, verbose=False, use_pallas_steplength=flag,
+        )
+        res.append(r)
+    a, b = res
+    assert a.iterations == b.iterations
+    assert abs(a.dual_objective - b.dual_objective) < 1e-9 * max(
+        1.0, abs(a.dual_objective))
+    ga = [h["alpha_p"] for h in a.history]
+    gb = [h["alpha_p"] for h in b.history]
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-7)
