@@ -163,6 +163,13 @@ def config_2():
     if os.environ.get("CLRS_SUITE_MXU"):
         kw["use_mxu_matmul"] = True
         label += " +mxu-matmul"
+    if os.environ.get("CLRS_SUITE_C2_STEPLEN"):
+        # step-length factorization through the fused Pallas sandwich —
+        # with PALLAS_INV this moves every per-block factorization out of
+        # the HLO, which is what keeps high-k compiles within the remote
+        # helper's memory (k=6 with XLA factorization loops OOMed it)
+        kw["use_pallas_steplength"] = True
+        label += " +pallas-steplen"
     if os.environ.get("CLRS_SUITE_C2_LU"):
         # S loses Cholesky-positivity within a few iterations on this
         # config at k=4 f32 (the host driver's sticky ladder switches to
