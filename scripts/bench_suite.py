@@ -37,37 +37,49 @@ def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3, phases_too=True):
     import clrs_tpu.core.solver as S
 
     cfg = S.SolverConfig(verbose=False, **cfg_kwargs)
-    step = S.make_fused_step(problem, cfg)
+    no_scan = bool(os.environ.get("CLRS_SUITE_NO_SCAN"))
+    if not no_scan:
+        step = S.make_fused_step(problem, cfg)
 
-    def scan_steps(problem, state):
-        def body(s, _):
-            s2, _diag = step(problem, s, jnp.bool_(False))
-            return s2, None
+        def scan_steps(problem, state):
+            def body(s, _):
+                s2, _diag = step(problem, s, jnp.bool_(False))
+                return s2, None
 
-        out, _ = jax.lax.scan(body, state, None, length=n_meas)
-        return out
+            out, _ = jax.lax.scan(body, state, None, length=n_meas)
+            return out
 
-    scan_jit = jax.jit(scan_steps)
-    state0 = S.initial_state(problem, cfg)
-    jax.block_until_ready(scan_jit(problem, state0))  # compile
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        out = jax.block_until_ready(scan_jit(problem, S.initial_state(problem, cfg)))
-        times.append(time.time() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
-    _, diag = step(problem, out, jnp.bool_(False))
-    rate = n_meas / dt
-    gap = float(np.asarray(diag["gap_hi"]))
-    ok = bool(np.asarray(diag["ok"]))
+        scan_jit = jax.jit(scan_steps)
+        state0 = S.initial_state(problem, cfg)
+        jax.block_until_ready(scan_jit(problem, state0))  # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = jax.block_until_ready(
+                scan_jit(problem, S.initial_state(problem, cfg)))
+            times.append(time.time() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
+        _, diag = step(problem, out, jnp.bool_(False))
+        rate = n_meas / dt
+        gap = float(np.asarray(diag["gap_hi"]))
+        ok = bool(np.asarray(diag["ok"]))
+    else:
+        # CLRS_SUITE_NO_SCAN: skip the fused-scan graph (a single whole-
+        # iteration body can exceed the remote compile helper's memory at
+        # high k) and derive a DISPATCH-BOUND it/s from the phase-split
+        # loop below — an underestimate of the deployment shape, labeled
+        # as such by the env knob's presence in the metric consumers.
+        rate, gap, ok = float("nan"), float("nan"), True
     phase_ms = {}
+    gap_trend = []
     if phases_too:
         phases = S.make_ipm_phases(problem, cfg)
         st = S.initial_state(problem, cfg)
         pd = jnp.bool_(False)
         acc = {}
-        for it in range(8):
+        n_phase_iters = 20 if no_scan else 8
+        for it in range(n_phase_iters):
             timed = it >= 2
 
             def tick(name, fn, *args):
@@ -90,9 +102,17 @@ def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3, phases_too=True):
                                   P, p, dr, R2, X_inv, st[3], decomp)
             ap, _ = tick("alpha", phases["steplength"], st[2], dX)
             ad, _ = tick("alpha", phases["steplength"], st[3], dY)
-            st, _d2 = tick("update", phases["update"], problem, st, dx, dy,
-                           dX, dY, ap, ad, pd, P, p, dr, mu, beta_c)
-        phase_ms = {kk: round(1000.0 * v / 6, 3) for kk, v in acc.items()}
+            st, d2 = tick("update", phases["update"], problem, st, dx, dy,
+                          dX, dY, ap, ad, pd, P, p, dr, mu, beta_c)
+            gap_trend.append(float(np.asarray(d2["gap_hi"])))
+        timed_iters = n_phase_iters - 2
+        phase_ms = {kk: round(1000.0 * v / timed_iters, 3)
+                    for kk, v in acc.items()}
+        if no_scan:
+            total_ms = sum(phase_ms.values())
+            rate = 1000.0 / total_ms if total_ms else float("nan")
+            gap = gap_trend[-1]
+            ok = bool(np.isfinite(gap))
     # MFU accounting (VERDICT r2 item 2 / BASELINE.json north star): the
     # scan-rate number is dispatch-free, so iteration_flops * rate / peak
     # is the honest whole-iteration utilization; the phase-split decomp
@@ -115,7 +135,7 @@ def measure_rate(problem, cfg_kwargs, n_meas=20, reps=3, phases_too=True):
                 / (phase_ms["decomp"] / 1e3) / peak, 4)
     except Exception:  # noqa: BLE001 — flop model must never break a bench
         pass
-    return rate, gap, ok, phase_ms, mfu
+    return rate, gap, ok, phase_ms, mfu, gap_trend
 
 
 def config_1():
@@ -328,12 +348,16 @@ def main():
                     ok=kw["ok"],
                 )))
                 continue
-            rate, gap, ok, phase_ms, mfu = measure_rate(problem, kw)
-            print(json.dumps(dict(
+            rate, gap, ok, phase_ms, mfu, gap_trend = measure_rate(problem, kw)
+            out = dict(
                 config=c, metric=f"IPM iterations/s, {name}", value=round(rate, 2),
                 unit="iterations/s", platform=platform, gap_after_20=gap, ok=ok,
                 phase_ms_per_iter=phase_ms, mfu=mfu,
-            )))
+            )
+            if os.environ.get("CLRS_SUITE_NO_SCAN"):
+                out["mode"] = "phase-split (dispatch-bound; no fused scan)"
+                out["gap_trend"] = [float(f"{g:.3e}") for g in gap_trend]
+            print(json.dumps(out))
         except Exception as e:  # noqa: BLE001
             print(json.dumps(dict(config=c, error=repr(e)[:200])))
 
