@@ -14,9 +14,13 @@ run — the numbers the reference prints per run (MPMP.jl:976-1013).
 
 Baseline: the reference (Julia/Arblib at 512-bit, single process)
 publishes no numbers (SURVEY.md §6) and Julia is not available in this
-container; BASELINE.md provisionally pins its iteration rate on this
-config at 2.0 it/s (SDPB-class 512-bit solvers on a few-core CPU).
-vs_baseline = value / 2.0 and is PROVISIONAL (so labeled in the metric).
+container.  The denominator is therefore MEASURED on the only runnable
+reference-class implementation available: this repo's independent dense
+mpmath oracle (clrs_tpu/utils/oracle.py — same XZ predictor-corrector
+algorithm, arbitrary-precision host arithmetic, no low-rank
+exploitation), timed at 512-bit working precision on this exact config:
+3.5 it/s on this 2-core box (scripts/bench_oracle_rate.py, 2026-08-21,
+0.28 s/iter over 15 iterations).  vs_baseline = value / 3.5.
 """
 
 import json
@@ -25,12 +29,15 @@ import sys
 import time
 import traceback
 
-BASELINE_ITERS_PER_S = 2.0
+# measured 512-bit mpmath-oracle rate on config 1 (see module docstring;
+# reproduce: python scripts/bench_oracle_rate.py 15 512)
+BASELINE_ITERS_PER_S = 3.5
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def build_problem(d: int, dtype, k: int = 2, info_transform=None):
+def build_problem(d: int, dtype, k: int = 2, info_transform=None,
+                  return_cons: bool = False):
     import mpmath
 
     from clrs_tpu.apps.delsarte import delsarte_lp_bound  # noqa: F401
@@ -66,6 +73,8 @@ def build_problem(d: int, dtype, k: int = 2, info_transform=None):
     info = get_block_info(cons)
     if info_transform is not None:
         info = info_transform(info)
+    if return_cons:
+        return cons, b, info
     problem = pack_constraints(cons, b, info=info, k=k, dtype=dtype)
     return problem, info
 
@@ -189,7 +198,8 @@ def main():
             "metric": (
                 f"IPM iterations/s, Delsarte dim-8 2d={2*d} (BASELINE "
                 f"config 1), double-double ({platform}, "
-                f"{np.dtype(dtype).name} limbs); vs_baseline provisional "
+                f"{np.dtype(dtype).name} limbs); vs_baseline = vs measured "
+                f"512-bit mpmath-oracle rate 3.5 it/s on this box "
                 f"(reference publishes no numbers)"
             ),
             "value": round(rate, 3),

@@ -395,423 +395,428 @@ def solve_host(
     # (j, l); results always reduced in fixed j order -> bitwise
     # deterministic at any thread count, asserted in tests)
     pool = _JPool(_resolve_host_threads(cfg, info))
-    jl_items = [(j, l) for j in range(info.J) for l in range(info.L[j])]
-    jl_weights = [float(info.Y_blocksizes[j][l]) ** 3 for (j, l) in jl_items]
-    j_weights = [
-        float(info.dim_S[j]) ** 3
-        + sum(float(bs) ** 3 for bs in info.Y_blocksizes[j])
-        for j in range(info.J)
-    ]
+    # try/finally: the pool must shut down on ANY exit — exceptions
+    # inside the solve otherwise leak idle executor threads for the
+    # rest of the process (ADVICE r3)
+    try:
+        jl_items = [(j, l) for j in range(info.J) for l in range(info.L[j])]
+        jl_weights = [float(info.Y_blocksizes[j][l]) ** 3 for (j, l) in jl_items]
+        j_weights = [
+            float(info.dim_S[j]) ** 3
+            + sum(float(bs) ** 3 for bs in info.Y_blocksizes[j])
+            for j in range(info.J)
+        ]
 
-    def compute_residual_R(mu_s: HXF, dX=None, dY=None):
-        R = []
-        for j in range(info.J):
-            row = []
-            for l in range(info.L[j]):
-                n = info.Y_blocksizes[j][l]
-                t = HXF.eye(n, k=k) * mu_s - hxf_matmul(X[j][l], Y[j][l])
-                if dX is not None:
-                    t = t - hxf_matmul(dX[j][l], dY[j][l])
-                row.append(t)
-            R.append(row)
-        return R
+        def compute_residual_R(mu_s: HXF, dX=None, dY=None):
+            R = []
+            for j in range(info.J):
+                row = []
+                for l in range(info.L[j]):
+                    n = info.Y_blocksizes[j][l]
+                    t = HXF.eye(n, k=k) * mu_s - hxf_matmul(X[j][l], Y[j][l])
+                    if dX is not None:
+                        t = t - hxf_matmul(dX[j][l], dY[j][l])
+                    row.append(t)
+                R.append(row)
+            return R
 
-    def compute_weighted_A(a: HXF):
-        def one(j):
-            a_j = a[info.x_indices[j]:info.x_indices[j + 1], 0]
-            return [
-                weighted_A_block_h(
-                    a_j, hp.Vs[j][l], hp.Hs[j][l], info.m[j],
-                    info.n_samples[j], info.rmax[j][l])
-                for l in range(info.L[j])
-            ]
-
-        return pool.map(one, list(range(info.J)), j_weights)
-
-    header = (
-        f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'P-obj':>11} {'D-obj':>11} "
-        f"{'gap':>10} {'P-error':>10} {'p-error':>10} {'d-error':>10} "
-        f"{'alpha_p':>10} {'alpha_d':>10} {'beta':>10}"
-    )
-    if cfg.verbose:
-        print(header)
-
-    t0 = time.time()
-    itn = 0
-    pd_feas = False
-    converged = False
-    status = "max_iterations"
-    gap = np.inf
-    history: List[Dict[str, float]] = []
-    best_merit = np.inf
-    best_state = (x, y, X, Y)
-    best_row = None
-    best_res: Tuple[Any, Any, Any] = (None, None, None)
-    last_res: Tuple[Any, Any, Any] = (None, None, None)
-    stall_count = 0
-    timings: Dict[str, float] = {}
-
-    def timed(name, t_start):
-        if itn > 2:
-            timings[name] = timings.get(name, 0.0) + time.time() - t_start
-        return time.time()
-
-    while itn < cfg.maxiterations:
-        itn += 1
-        tphase = time.time()
-        # ---- mu, R, X^-1 (MPMP.jl:755-801) ----
-        mu = _bd_dot(X, Y) / Ktot
-        mu_p = (HXF.zeros((), k=k) if pd_feas
-                else mu * cfg.beta_infeasible)
-        R = compute_residual_R(mu_p)
-
-        def _xinv_one(jl):
-            inv, okb = inv_fn_x(X[jl[0]][jl[1]])
-            return hxf_sym(inv), okb
-
-        inv_res = pool.map(_xinv_one, jl_items, jl_weights)
-        X_inv = [[None] * info.L[j] for j in range(info.J)]
-        ok_inv = True
-        for (j, l), (inv, okb) in zip(jl_items, inv_res):
-            X_inv[j][l] = inv
-            ok_inv = ok_inv and okb
-        if not ok_inv:
-            if not use_lu_inverse:
-                if cfg.verbose:
-                    print("X^-1 Cholesky failed — switching to LU inverse")
-                use_lu_inverse = True
-                itn -= 1
-                continue
-            status = "numerical_failure:Xinv"
-            break
-        tphase = timed("Xinv+R", tphase)
-
-        # ---- decomposition (MPMP.jl:1218-1514; per-cluster work fanned
-        # over the pool like the reference's @threads at :1424-1442).
-        # Sub-phase buckets mirror the reference's decomposition table
-        # (schur / cholS / Q, MPMP.jl:992-1001); under threading they sum
-        # per-cluster work time (can exceed phase wall time). ----
-        def _decomp_one(j):
-            m, K = info.m[j], info.n_samples[j]
-            dim = info.dim_S[j]
-            tj0 = time.time()
-            S_j = HXF.zeros((dim, dim), k=k)
-            ay = []
-            for l in range(info.L[j]):
-                PX = compute_pairings_h(X_inv[j][l], hp.Vs[j][l], m)
-                PY = compute_pairings_h(Y[j][l], hp.Vs[j][l], m)
-                ay.append(pairing_diag_h(PY, m))
-                S_j = S_j + schur_block_contribution_h(
-                    PX, PY, hp.Hs[j][l], m, K, info.rmax[j][l])
-            S_j = hxf_sym(S_j)
-            tj1 = time.time()
-            fac_j, okj = _factor_s(S_j)
-            tj2 = time.time()
-            if fac_j[0] == "chol":
-                # W = L^-1 B; S^-1 B = L^-T W; Q_j = W^T W via the
-                # symmetric-output syrk (half the gemm's cascade ops)
-                W = hxf_solve_tril(fac_j[1], hp.B[j])
-                SB = hxf_solve_tril(fac_j[1], W, trans=True)
-                Qj = hxf_syrk(W)
-            else:
-                SB = _fsolve(fac_j, hp.B[j])
-                Qj = hxf_matmul(hp.B[j], SB, ta=True)
-            tj3 = time.time()
-            return S_j, fac_j, SB, Qj, ay, okj, (tj1 - tj0, tj2 - tj1,
-                                                 tj3 - tj2)
-
-        dres = pool.map(_decomp_one, list(range(info.J)), j_weights)
-        if itn > 2:
-            for sub in dres:
-                tt = sub[6]
-                timings["decomp.schur_build"] = timings.get(
-                    "decomp.schur_build", 0.0) + tt[0]
-                timings["decomp.S_factor"] = timings.get(
-                    "decomp.S_factor", 0.0) + tt[1]
-                timings["decomp.Q"] = timings.get("decomp.Q", 0.0) + tt[2]
-        ok_s = True
-        S_mat: List[HXF] = []
-        S_fac: List[Any] = []
-        S_inv_B: List[HXF] = []
-        A_Y: List[List[HXF]] = []
-        Q = HXF.zeros((n_y, n_y), k=k)
-        for S_j, fac_j, SB, Qj, ay, okj, _tt in dres:  # fixed j order
-            ok_s = ok_s and okj
-            Q = Q + Qj
-            S_mat.append(S_j)
-            S_fac.append(fac_j)
-            S_inv_B.append(SB)
-            A_Y.append(ay)
-        tq0 = time.time()
-        Q_fac, okq = _factor_s(hxf_sym(Q))
-        if itn > 2:
-            timings["decomp.Q_factor"] = timings.get(
-                "decomp.Q_factor", 0.0) + time.time() - tq0
-        ok_s = ok_s and okq
-        if not ok_s:
-            if not use_lu_schur:
-                if cfg.verbose:
-                    print("Schur Cholesky failed — switching to LU for S, Q")
-                use_lu_schur = True
-                itn -= 1
-                continue
-            status = "numerical_failure:schur_factorization"
-            break
-        tphase = timed("decomp", tphase)
-
-        # ---- residuals (MPMP.jl:1107-1144) ----
-        P = compute_weighted_A(x)
-        for j in range(info.J):
-            for l in range(info.L[j]):
-                t = P[j][l] - X[j][l]
-                if hp.C_blocks is not None:
-                    t = t - hp.C_blocks[j][l]
-                P[j][l] = t
-        p = hp.b
-        for j in range(info.J):
-            xj = x[info.x_indices[j]:info.x_indices[j + 1], :]
-            p = p - hxf_matmul(hp.B[j], xj, ta=True)
-        trY_parts = []
-        for j in range(info.J):
-            tr = None
-            for l in range(info.L[j]):
-                t = trace_A_from_diag_h(
-                    A_Y[j][l], hp.Hs[j][l], info.m[j], info.n_samples[j],
-                    info.rmax[j][l])
-                tr = t if tr is None else tr + t
-            trY_parts.append(tr)
-        trY = HXF(np.concatenate([t.limbs for t in trY_parts], axis=1))
-        cs = HXF(np.concatenate([hp.c[j].limbs for j in range(info.J)],
-                                axis=1))
-        By = HXF(np.concatenate(
-            [hxf_matmul(hp.B[j], y).limbs for j in range(info.J)], axis=1))
-        d = (cs - By) - trY.reshape((info.total_dim_S, 1))
-        tphase = timed("residuals", tphase)
-
-        # ---- search direction (MPMP.jl:1682-1824) ----
-        def saddle_solve(rx: HXF, ry: HXF):
-            def stage1(j):
-                rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
-                tx = _fsolve(S_fac[j], rj)
-                return tx, hxf_matmul(hp.B[j], tx, ta=True)
-
-            s1 = pool.map(stage1, list(range(info.J)), j_weights)
-            temp = [t for t, _ in s1]
-            acc = None
-            for _, a in s1:  # fixed j order
-                acc = a if acc is None else acc + a
-            dy_ = _fsolve(Q_fac, ry - acc)
-            dxs_ = pool.map(
-                lambda j: temp[j] + hxf_matmul(S_inv_B[j], dy_),
-                list(range(info.J)), j_weights)
-            return dxs_, dy_
-
-        def saddle_residual(rx: HXF, ry: HXF, dxs_, dy_):
+        def compute_weighted_A(a: HXF):
             def one(j):
-                rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
-                Sdx = hxf_matmul(S_mat[j], dxs_[j])
-                Bdy = hxf_matmul(hp.B[j], dy_)
-                return rj - Sdx + Bdy, hxf_matmul(hp.B[j], dxs_[j], ta=True)
-
-            parts = pool.map(one, list(range(info.J)), j_weights)
-            accb = None
-            for _, a in parts:  # fixed j order
-                accb = a if accb is None else accb + a
-            rx_full = HXF(np.concatenate([r_.limbs for r_, _ in parts],
-                                         axis=1))
-            return rx_full, ry - accb
-
-        def direction(Rmat):
-            def z_and_trace(j):
-                Zj = [
-                    hxf_sym(hxf_matmul(
-                        X_inv[j][l],
-                        hxf_matmul(P[j][l], Y[j][l]) - Rmat[j][l]))
+                a_j = a[info.x_indices[j]:info.x_indices[j + 1], 0]
+                return [
+                    weighted_A_block_h(
+                        a_j, hp.Vs[j][l], hp.Hs[j][l], info.m[j],
+                        info.n_samples[j], info.rmax[j][l])
                     for l in range(info.L[j])
                 ]
+
+            return pool.map(one, list(range(info.J)), j_weights)
+
+        header = (
+            f"{'iter':>5} {'time(s)':>8} {'mu':>11} {'P-obj':>11} {'D-obj':>11} "
+            f"{'gap':>10} {'P-error':>10} {'p-error':>10} {'d-error':>10} "
+            f"{'alpha_p':>10} {'alpha_d':>10} {'beta':>10}"
+        )
+        if cfg.verbose:
+            print(header)
+
+        t0 = time.time()
+        itn = 0
+        pd_feas = False
+        converged = False
+        status = "max_iterations"
+        gap = np.inf
+        history: List[Dict[str, float]] = []
+        best_merit = np.inf
+        best_state = (x, y, X, Y)
+        best_row = None
+        best_res: Tuple[Any, Any, Any] = (None, None, None)
+        last_res: Tuple[Any, Any, Any] = (None, None, None)
+        stall_count = 0
+        timings: Dict[str, float] = {}
+
+        def timed(name, t_start):
+            if itn > 2:
+                timings[name] = timings.get(name, 0.0) + time.time() - t_start
+            return time.time()
+
+        while itn < cfg.maxiterations:
+            itn += 1
+            tphase = time.time()
+            # ---- mu, R, X^-1 (MPMP.jl:755-801) ----
+            mu = _bd_dot(X, Y) / Ktot
+            mu_p = (HXF.zeros((), k=k) if pd_feas
+                    else mu * cfg.beta_infeasible)
+            R = compute_residual_R(mu_p)
+
+            def _xinv_one(jl):
+                inv, okb = inv_fn_x(X[jl[0]][jl[1]])
+                return hxf_sym(inv), okb
+
+            inv_res = pool.map(_xinv_one, jl_items, jl_weights)
+            X_inv = [[None] * info.L[j] for j in range(info.J)]
+            ok_inv = True
+            for (j, l), (inv, okb) in zip(jl_items, inv_res):
+                X_inv[j][l] = inv
+                ok_inv = ok_inv and okb
+            if not ok_inv:
+                if not use_lu_inverse:
+                    if cfg.verbose:
+                        print("X^-1 Cholesky failed — switching to LU inverse")
+                    use_lu_inverse = True
+                    itn -= 1
+                    continue
+                status = "numerical_failure:Xinv"
+                break
+            tphase = timed("Xinv+R", tphase)
+
+            # ---- decomposition (MPMP.jl:1218-1514; per-cluster work fanned
+            # over the pool like the reference's @threads at :1424-1442).
+            # Sub-phase buckets mirror the reference's decomposition table
+            # (schur / cholS / Q, MPMP.jl:992-1001); under threading they sum
+            # per-cluster work time (can exceed phase wall time). ----
+            def _decomp_one(j):
+                m, K = info.m[j], info.n_samples[j]
+                dim = info.dim_S[j]
+                tj0 = time.time()
+                S_j = HXF.zeros((dim, dim), k=k)
+                ay = []
+                for l in range(info.L[j]):
+                    PX = compute_pairings_h(X_inv[j][l], hp.Vs[j][l], m)
+                    PY = compute_pairings_h(Y[j][l], hp.Vs[j][l], m)
+                    ay.append(pairing_diag_h(PY, m))
+                    S_j = S_j + schur_block_contribution_h(
+                        PX, PY, hp.Hs[j][l], m, K, info.rmax[j][l])
+                S_j = hxf_sym(S_j)
+                tj1 = time.time()
+                fac_j, okj = _factor_s(S_j)
+                tj2 = time.time()
+                if fac_j[0] == "chol":
+                    # W = L^-1 B; S^-1 B = L^-T W; Q_j = W^T W via the
+                    # symmetric-output syrk (half the gemm's cascade ops)
+                    W = hxf_solve_tril(fac_j[1], hp.B[j])
+                    SB = hxf_solve_tril(fac_j[1], W, trans=True)
+                    Qj = hxf_syrk(W)
+                else:
+                    SB = _fsolve(fac_j, hp.B[j])
+                    Qj = hxf_matmul(hp.B[j], SB, ta=True)
+                tj3 = time.time()
+                return S_j, fac_j, SB, Qj, ay, okj, (tj1 - tj0, tj2 - tj1,
+                                                     tj3 - tj2)
+
+            dres = pool.map(_decomp_one, list(range(info.J)), j_weights)
+            if itn > 2:
+                for sub in dres:
+                    tt = sub[6]
+                    timings["decomp.schur_build"] = timings.get(
+                        "decomp.schur_build", 0.0) + tt[0]
+                    timings["decomp.S_factor"] = timings.get(
+                        "decomp.S_factor", 0.0) + tt[1]
+                    timings["decomp.Q"] = timings.get("decomp.Q", 0.0) + tt[2]
+            ok_s = True
+            S_mat: List[HXF] = []
+            S_fac: List[Any] = []
+            S_inv_B: List[HXF] = []
+            A_Y: List[List[HXF]] = []
+            Q = HXF.zeros((n_y, n_y), k=k)
+            for S_j, fac_j, SB, Qj, ay, okj, _tt in dres:  # fixed j order
+                ok_s = ok_s and okj
+                Q = Q + Qj
+                S_mat.append(S_j)
+                S_fac.append(fac_j)
+                S_inv_B.append(SB)
+                A_Y.append(ay)
+            tq0 = time.time()
+            Q_fac, okq = _factor_s(hxf_sym(Q))
+            if itn > 2:
+                timings["decomp.Q_factor"] = timings.get(
+                    "decomp.Q_factor", 0.0) + time.time() - tq0
+            ok_s = ok_s and okq
+            if not ok_s:
+                if not use_lu_schur:
+                    if cfg.verbose:
+                        print("Schur Cholesky failed — switching to LU for S, Q")
+                    use_lu_schur = True
+                    itn -= 1
+                    continue
+                status = "numerical_failure:schur_factorization"
+                break
+            tphase = timed("decomp", tphase)
+
+            # ---- residuals (MPMP.jl:1107-1144) ----
+            P = compute_weighted_A(x)
+            for j in range(info.J):
+                for l in range(info.L[j]):
+                    t = P[j][l] - X[j][l]
+                    if hp.C_blocks is not None:
+                        t = t - hp.C_blocks[j][l]
+                    P[j][l] = t
+            p = hp.b
+            for j in range(info.J):
+                xj = x[info.x_indices[j]:info.x_indices[j + 1], :]
+                p = p - hxf_matmul(hp.B[j], xj, ta=True)
+            trY_parts = []
+            for j in range(info.J):
                 tr = None
                 for l in range(info.L[j]):
-                    t = trace_A_generic_h(
-                        Zj[l], hp.Vs[j][l], hp.Hs[j][l], info.m[j],
-                        info.n_samples[j], info.rmax[j][l])
+                    t = trace_A_from_diag_h(
+                        A_Y[j][l], hp.Hs[j][l], info.m[j], info.n_samples[j],
+                        info.rmax[j][l])
                     tr = t if tr is None else tr + t
-                return tr
+                trY_parts.append(tr)
+            trY = HXF(np.concatenate([t.limbs for t in trY_parts], axis=1))
+            cs = HXF(np.concatenate([hp.c[j].limbs for j in range(info.J)],
+                                    axis=1))
+            By = HXF(np.concatenate(
+                [hxf_matmul(hp.B[j], y).limbs for j in range(info.J)], axis=1))
+            d = (cs - By) - trY.reshape((info.total_dim_S, 1))
+            tphase = timed("residuals", tphase)
 
-            tr_parts = pool.map(z_and_trace, list(range(info.J)), j_weights)
-            trZ = HXF(np.concatenate([t.limbs for t in tr_parts], axis=1))
-            rhs_x = -d - trZ.reshape((info.total_dim_S, 1))
-            rhs_y = p
-            dxs, dy = saddle_solve(rhs_x, rhs_y)
-            for _ in range(cfg.refine_steps):
-                rx_full, ry_full = saddle_residual(rhs_x, rhs_y, dxs, dy)
-                ddxs, ddy = saddle_solve(rx_full, ry_full)
-                dxs = [dxs[j] + ddxs[j] for j in range(info.J)]
-                dy = dy + ddy
-            dx = HXF(np.concatenate([d_.limbs for d_ in dxs], axis=1))
-            dX = compute_weighted_A(dx)
+            # ---- search direction (MPMP.jl:1682-1824) ----
+            def saddle_solve(rx: HXF, ry: HXF):
+                def stage1(j):
+                    rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
+                    tx = _fsolve(S_fac[j], rj)
+                    return tx, hxf_matmul(hp.B[j], tx, ta=True)
 
-            def dy_one(j):
-                dXj = [dX[j][l] + P[j][l] for l in range(info.L[j])]
-                dYj = [
-                    hxf_sym(hxf_matmul(
-                        X_inv[j][l],
-                        Rmat[j][l] - hxf_matmul(dXj[l], Y[j][l])))
-                    for l in range(info.L[j])
-                ]
-                return dXj, dYj
+                s1 = pool.map(stage1, list(range(info.J)), j_weights)
+                temp = [t for t, _ in s1]
+                acc = None
+                for _, a in s1:  # fixed j order
+                    acc = a if acc is None else acc + a
+                dy_ = _fsolve(Q_fac, ry - acc)
+                dxs_ = pool.map(
+                    lambda j: temp[j] + hxf_matmul(S_inv_B[j], dy_),
+                    list(range(info.J)), j_weights)
+                return dxs_, dy_
 
-            dres2 = pool.map(dy_one, list(range(info.J)), j_weights)
-            dY = []
-            for j, (dXj, dYj) in enumerate(dres2):
-                dX[j] = dXj
-                dY.append(dYj)
-            return dx, dX, dy, dY
+            def saddle_residual(rx: HXF, ry: HXF, dxs_, dy_):
+                def one(j):
+                    rj = rx[info.x_indices[j]:info.x_indices[j + 1], :]
+                    Sdx = hxf_matmul(S_mat[j], dxs_[j])
+                    Bdy = hxf_matmul(hp.B[j], dy_)
+                    return rj - Sdx + Bdy, hxf_matmul(hp.B[j], dxs_[j], ta=True)
 
-        dx, dX, dy, dY = direction(R)
-        tphase = timed("predictor_dir", tphase)
+                parts = pool.map(one, list(range(info.J)), j_weights)
+                accb = None
+                for _, a in parts:  # fixed j order
+                    accb = a if accb is None else accb + a
+                rx_full = HXF(np.concatenate([r_.limbs for r_, _ in parts],
+                                             axis=1))
+                return rx_full, ry - accb
 
-        # ---- corrector (MPMP.jl:832-858) ----
-        XdX = [[X[j][l] + dX[j][l] for l in range(info.L[j])]
-               for j in range(info.J)]
-        YdY = [[Y[j][l] + dY[j][l] for l in range(info.L[j])]
-               for j in range(info.J)]
-        r_val = _bd_dot(XdX, YdY) / (mu * Ktot)
-        one = HXF.from_float(1.0, k=k)
-        beta = r_val * r_val if bool(r_val < one) else r_val
-        if pd_feas:
-            bF = HXF.from_float(cfg.beta_feasible, k=k)
-            beta_c = bF if bool(beta < bF) else (
-                beta if bool(beta < one) else one)
-        else:
-            bI = HXF.from_float(cfg.beta_infeasible, k=k)
-            beta_c = bI if bool(beta < bI) else beta
-        mu_c = beta_c * mu
-        R2 = compute_residual_R(mu_c, dX, dY)
-        tphase = timed("corrector_R", tphase)
-        dx, dX, dy, dY = direction(R2)
-        tphase = timed("corrector_dir", tphase)
+            def direction(Rmat):
+                def z_and_trace(j):
+                    Zj = [
+                        hxf_sym(hxf_matmul(
+                            X_inv[j][l],
+                            hxf_matmul(P[j][l], Y[j][l]) - Rmat[j][l]))
+                        for l in range(info.L[j])
+                    ]
+                    tr = None
+                    for l in range(info.L[j]):
+                        t = trace_A_generic_h(
+                            Zj[l], hp.Vs[j][l], hp.Hs[j][l], info.m[j],
+                            info.n_samples[j], info.rmax[j][l])
+                        tr = t if tr is None else tr + t
+                    return tr
 
-        # ---- step lengths (MPMP.jl:1829-1898; @threads over blocks at
-        # :1842, global min reduction :1890-1891) ----
-        def _steplen_one(jl):
-            j, l = jl
-            lp, okp = hxf_min_eig_sym(X[j][l], dX[j][l])
-            ld, okd = hxf_min_eig_sym(Y[j][l], dY[j][l])
-            return lp, ld, okp and okd
+                tr_parts = pool.map(z_and_trace, list(range(info.J)), j_weights)
+                trZ = HXF(np.concatenate([t.limbs for t in tr_parts], axis=1))
+                rhs_x = -d - trZ.reshape((info.total_dim_S, 1))
+                rhs_y = p
+                dxs, dy = saddle_solve(rhs_x, rhs_y)
+                for _ in range(cfg.refine_steps):
+                    rx_full, ry_full = saddle_residual(rhs_x, rhs_y, dxs, dy)
+                    ddxs, ddy = saddle_solve(rx_full, ry_full)
+                    dxs = [dxs[j] + ddxs[j] for j in range(info.J)]
+                    dy = dy + ddy
+                dx = HXF(np.concatenate([d_.limbs for d_ in dxs], axis=1))
+                dX = compute_weighted_A(dx)
 
-        sres = pool.map(_steplen_one, jl_items, jl_weights)
-        lam_p = min([np.inf] + [r[0] for r in sres])
-        lam_d = min([np.inf] + [r[1] for r in sres])
-        ok_a = all(r[2] for r in sres)
-        if not ok_a:
-            status = "numerical_failure:steplength"
-            break
+                def dy_one(j):
+                    dXj = [dX[j][l] + P[j][l] for l in range(info.L[j])]
+                    dYj = [
+                        hxf_sym(hxf_matmul(
+                            X_inv[j][l],
+                            Rmat[j][l] - hxf_matmul(dXj[l], Y[j][l])))
+                        for l in range(info.L[j])
+                    ]
+                    return dXj, dYj
 
-        def alpha_of(lam):
-            if lam > -cfg.gamma:
-                return 1.0
-            return min(1.0, -cfg.gamma / min(lam, -1e-300))
+                dres2 = pool.map(dy_one, list(range(info.J)), j_weights)
+                dY = []
+                for j, (dXj, dYj) in enumerate(dres2):
+                    dX[j] = dXj
+                    dY.append(dYj)
+                return dx, dX, dy, dY
 
-        alpha_p = alpha_of(lam_p)
-        alpha_d = alpha_of(lam_d)
-        if pd_feas:
-            alpha_p = alpha_d = min(alpha_p, alpha_d)
-        tphase = timed("alpha", tphase)
+            dx, dX, dy, dY = direction(R)
+            tphase = timed("predictor_dir", tphase)
 
-        # ---- update + metrics (MPMP.jl:877-887, 1027-1092) ----
-        # snapshot: this iteration's P/p/d (and the merit below) belong to
-        # the PRE-update iterate — the stall guard must return this state,
-        # not the post-update one (found round 3: an explosive final step
-        # made "best" return the exploded iterate, p_err 2e-59 -> 1e10)
-        prev_state = (x, y, X, Y)
-        ap = HXF.from_float(alpha_p, k=k)
-        ad = HXF.from_float(alpha_d, k=k)
-        x = x + dx * ap
-        y = y + dy * ad
-        X = [[X[j][l] + dX[j][l] * ap for l in range(info.L[j])]
-             for j in range(info.J)]
-        Y = [[Y[j][l] + dY[j][l] * ad for l in range(info.L[j])]
-             for j in range(info.J)]
-        p_obj = hxf_dot(cs.reshape((info.total_dim_S, 1)), x) + hp.b0
-        d_obj = hxf_dot(hp.b, y) + hp.b0
-        if hp.C_blocks is not None:
-            d_obj = d_obj + _bd_dot(hp.C_blocks, Y)
-        gap_num = (p_obj - d_obj).abs()
-        gap_den = p_obj + d_obj
-        gd = max(1.0, gap_den.abs().max_abs())
-        gap = gap_num.max_abs() / gd
-        P_err = _bd_max_abs(P)
-        p_err = p.max_abs()
-        d_err = d.max_abs()
-        primal_err = max(P_err, p_err)
-        dual_err = d_err
-        tphase = timed("update", tphase)
+            # ---- corrector (MPMP.jl:832-858) ----
+            XdX = [[X[j][l] + dX[j][l] for l in range(info.L[j])]
+                   for j in range(info.J)]
+            YdY = [[Y[j][l] + dY[j][l] for l in range(info.L[j])]
+                   for j in range(info.J)]
+            r_val = _bd_dot(XdX, YdY) / (mu * Ktot)
+            one = HXF.from_float(1.0, k=k)
+            beta = r_val * r_val if bool(r_val < one) else r_val
+            if pd_feas:
+                bF = HXF.from_float(cfg.beta_feasible, k=k)
+                beta_c = bF if bool(beta < bF) else (
+                    beta if bool(beta < one) else one)
+            else:
+                bI = HXF.from_float(cfg.beta_infeasible, k=k)
+                beta_c = bI if bool(beta < bI) else beta
+            mu_c = beta_c * mu
+            R2 = compute_residual_R(mu_c, dX, dY)
+            tphase = timed("corrector_R", tphase)
+            dx, dX, dy, dY = direction(R2)
+            tphase = timed("corrector_dir", tphase)
 
-        row = dict(
-            iter=itn, time=time.time() - t0,
-            mu=float(mu.limbs[0]),
-            p_obj=float(sum(p_obj.limbs[:3])),
-            d_obj=float(sum(d_obj.limbs[:3])),
-            gap=gap, P_err=P_err, p_err=p_err, d_err=d_err,
-            alpha_p=alpha_p, alpha_d=alpha_d,
-            beta=float(beta_c.limbs[0]),
-        )
-        history.append(row)
-        last_res = (P, p, d)
-        if cfg.verbose:
-            print(
-                f"{itn:5d} {row['time']:8.1f} {row['mu']:11.3e} "
-                f"{row['p_obj']:11.3e} {row['d_obj']:11.3e} {gap:10.2e} "
-                f"{P_err:10.2e} {p_err:10.2e} {d_err:10.2e} "
-                f"{alpha_p:10.2e} {alpha_d:10.2e} {row['beta']:10.2e}"
+            # ---- step lengths (MPMP.jl:1829-1898; @threads over blocks at
+            # :1842, global min reduction :1890-1891) ----
+            def _steplen_one(jl):
+                j, l = jl
+                lp, okp = hxf_min_eig_sym(X[j][l], dX[j][l])
+                ld, okd = hxf_min_eig_sym(Y[j][l], dY[j][l])
+                return lp, ld, okp and okd
+
+            sres = pool.map(_steplen_one, jl_items, jl_weights)
+            lam_p = min([np.inf] + [r[0] for r in sres])
+            lam_d = min([np.inf] + [r[1] for r in sres])
+            ok_a = all(r[2] for r in sres)
+            if not ok_a:
+                status = "numerical_failure:steplength"
+                break
+
+            def alpha_of(lam):
+                if lam > -cfg.gamma:
+                    return 1.0
+                return min(1.0, -cfg.gamma / min(lam, -1e-300))
+
+            alpha_p = alpha_of(lam_p)
+            alpha_d = alpha_of(lam_d)
+            if pd_feas:
+                alpha_p = alpha_d = min(alpha_p, alpha_d)
+            tphase = timed("alpha", tphase)
+
+            # ---- update + metrics (MPMP.jl:877-887, 1027-1092) ----
+            # snapshot: this iteration's P/p/d (and the merit below) belong to
+            # the PRE-update iterate — the stall guard must return this state,
+            # not the post-update one (found round 3: an explosive final step
+            # made "best" return the exploded iterate, p_err 2e-59 -> 1e10)
+            prev_state = (x, y, X, Y)
+            ap = HXF.from_float(alpha_p, k=k)
+            ad = HXF.from_float(alpha_d, k=k)
+            x = x + dx * ap
+            y = y + dy * ad
+            X = [[X[j][l] + dX[j][l] * ap for l in range(info.L[j])]
+                 for j in range(info.J)]
+            Y = [[Y[j][l] + dY[j][l] * ad for l in range(info.L[j])]
+                 for j in range(info.J)]
+            p_obj = hxf_dot(cs.reshape((info.total_dim_S, 1)), x) + hp.b0
+            d_obj = hxf_dot(hp.b, y) + hp.b0
+            if hp.C_blocks is not None:
+                d_obj = d_obj + _bd_dot(hp.C_blocks, Y)
+            gap_num = (p_obj - d_obj).abs()
+            gap_den = p_obj + d_obj
+            gd = max(1.0, gap_den.abs().max_abs())
+            gap = gap_num.max_abs() / gd
+            P_err = _bd_max_abs(P)
+            p_err = p.max_abs()
+            d_err = d.max_abs()
+            primal_err = max(P_err, p_err)
+            dual_err = d_err
+            tphase = timed("update", tphase)
+
+            row = dict(
+                iter=itn, time=time.time() - t0,
+                mu=float(mu.limbs[0]),
+                p_obj=float(sum(p_obj.limbs[:3])),
+                d_obj=float(sum(d_obj.limbs[:3])),
+                gap=gap, P_err=P_err, p_err=p_err, d_err=d_err,
+                alpha_p=alpha_p, alpha_d=alpha_d,
+                beta=float(beta_c.limbs[0]),
             )
-
-        # stall/explosion guard (core/solver.py analogue)
-        merit = max(gap, primal_err, dual_err)
-        if not np.isfinite(merit):
-            merit = np.inf
-        if merit < best_merit:
-            best_merit = merit
-            best_state = prev_state  # the state the residuals measure
-            best_row = row
-            best_res = (P, p, d)
-            stall_count = 0
-        else:
-            exploded = merit > best_merit * cfg.blowup_factor
-            stall_count += cfg.blowup_weight if exploded else 1
-        if stall_count >= cfg.stall_patience:
-            status = "stalled"
-            x, y, X, Y = best_state
+            history.append(row)
+            last_res = (P, p, d)
             if cfg.verbose:
                 print(
-                    f"no progress for {cfg.stall_patience} iterations — "
-                    "returning best iterate"
+                    f"{itn:5d} {row['time']:8.1f} {row['mu']:11.3e} "
+                    f"{row['p_obj']:11.3e} {row['d_obj']:11.3e} {gap:10.2e} "
+                    f"{P_err:10.2e} {p_err:10.2e} {d_err:10.2e} "
+                    f"{alpha_p:10.2e} {alpha_d:10.2e} {row['beta']:10.2e}"
                 )
-            break
 
-        primal_feas = primal_err < cfg.primal_error_threshold
-        dual_feas = dual_err < cfg.dual_error_threshold
-        pd_feas = primal_feas and dual_feas
-        if cfg.need_primal_feasible and primal_feas:
-            status = "primal_feasible"
-            converged = True
-            break
-        if cfg.need_dual_feasible and dual_feas:
-            status = "dual_feasible"
-            converged = True
-            break
-        if primal_feas and dual_feas and gap < cfg.duality_gap_threshold:
-            status = "optimal"
-            converged = True
-            break
+            # stall/explosion guard (core/solver.py analogue)
+            merit = max(gap, primal_err, dual_err)
+            if not np.isfinite(merit):
+                merit = np.inf
+            if merit < best_merit:
+                best_merit = merit
+                best_state = prev_state  # the state the residuals measure
+                best_row = row
+                best_res = (P, p, d)
+                stall_count = 0
+            else:
+                exploded = merit > best_merit * cfg.blowup_factor
+                stall_count += cfg.blowup_weight if exploded else 1
+            if stall_count >= cfg.stall_patience:
+                status = "stalled"
+                x, y, X, Y = best_state
+                if cfg.verbose:
+                    print(
+                        f"no progress for {cfg.stall_patience} iterations — "
+                        "returning best iterate"
+                    )
+                break
 
-    if (
-        status.startswith("numerical_failure") or status == "stalled"
-    ) and best_row is not None:
-        x, y, X, Y = best_state
-        gap = best_row["gap"]
+            primal_feas = primal_err < cfg.primal_error_threshold
+            dual_feas = dual_err < cfg.dual_error_threshold
+            pd_feas = primal_feas and dual_feas
+            if cfg.need_primal_feasible and primal_feas:
+                status = "primal_feasible"
+                converged = True
+                break
+            if cfg.need_dual_feasible and dual_feas:
+                status = "dual_feasible"
+                converged = True
+                break
+            if primal_feas and dual_feas and gap < cfg.duality_gap_threshold:
+                status = "optimal"
+                converged = True
+                break
 
-    pool.shutdown()
+        if (
+            status.startswith("numerical_failure") or status == "stalled"
+        ) and best_row is not None:
+            x, y, X, Y = best_state
+            gap = best_row["gap"]
+
+    finally:
+        pool.shutdown()
     time_total = time.time() - t0
     if cfg.verbose:
         print(f"status: {status}  iterations: {itn}  time: {time_total:.2f}s")
@@ -825,7 +830,22 @@ def solve_host(
     if (
         status.startswith("numerical_failure") or status == "stalled"
     ) and best_row is not None:
-        report_row = best_row
+        # best_row's gap/objectives were evaluated at the POST-update
+        # iterate; recompute them at the returned (pre-update) best_state
+        # so all SolveResult fields describe one iterate (ADVICE r3).
+        bx, by, _, bY = best_state
+        b_p_obj = hxf_dot(cs.reshape((info.total_dim_S, 1)), bx) + hp.b0
+        b_d_obj = hxf_dot(hp.b, by) + hp.b0
+        if hp.C_blocks is not None:
+            b_d_obj = b_d_obj + _bd_dot(hp.C_blocks, bY)
+        bgd = max(1.0, (b_p_obj + b_d_obj).abs().max_abs())
+        gap = (b_p_obj - b_d_obj).abs().max_abs() / bgd
+        report_row = dict(
+            best_row,
+            gap=gap,
+            p_obj=float(sum(b_p_obj.limbs[:3])),
+            d_obj=float(sum(b_d_obj.limbs[:3])),
+        )
         res_out = best_res
 
     if hp.x_sigma is not None:

@@ -612,9 +612,21 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
 def compute_step_length(M, dM, gamma: float, info: BlockInfo,
                         use_pallas: bool = False):
     """alpha = min(1, -gamma/lambda_min), lambda_min over all blocks
-    (MPMP.jl:1829-1898), batched.  Returns (alpha_f64, ok)."""
+    (MPMP.jl:1829-1898), batched.  Returns (alpha_f64, ok).
+
+    The Pallas sandwich path bounds lambda_min with a NATIVE-dtype Jacobi
+    sweep on the value-rounded L^-1 dM L^-T — fine for f32 limbs (the XLA
+    path rounds to the same f32 there), but for f64 limbs the XLA path's
+    xf_eigvalsh_approx keeps expansion precision, so f64-limb problems
+    stay on the XLA path regardless of the flag (ADVICE r3)."""
     from clrs_tpu.core.batched import map_block_scalar
 
+    if use_pallas:
+        first = next(
+            b for row in M for b in row if b is not None
+        )
+        if first.dtype == jnp.float64:
+            use_pallas = False
     if use_pallas:
         lam, ok = _step_length_lambda_pallas(M, dM, info)
     else:
@@ -922,6 +934,8 @@ class SolveResult:
     status: str
     history: List[Dict[str, float]] = field(default_factory=list)
     timings: Dict[str, float] = field(default_factory=dict)
+    rungs: List[Dict[str, Any]] = field(default_factory=list)  # escalation
+    # per-rung log (core/escalate.py); empty for direct single-rung solves
 
 
 def solverank1sdp(
@@ -1179,9 +1193,21 @@ def solverank1sdp(
         status.startswith(("numerical_failure", "overflow"))
         or status == "stalled"
     ) and best_row is not None:
-        # hand back the best iterate (and its metrics), not the broken one
+        # hand back the best iterate (and its metrics), not the broken one.
+        # best_row's gap/objectives came from phase_update, which evaluates
+        # the POST-update iterate — recompute them at the returned
+        # (pre-update) state so every SolveResult field describes the same
+        # iterate as the residuals (ADVICE r3).
         state = best_state
-        gap = best_row["gap"]
+        bp_obj = compute_primal_objective(problem, best_state[0])
+        bd_obj = compute_dual_objective(problem, best_state[1], best_state[3])
+        gap = float(np.asarray(compute_duality_gap(bp_obj, bd_obj).limbs[0]))
+        best_row = dict(
+            best_row,
+            gap=gap,
+            p_obj=float(np.asarray(bp_obj.to_float64())),
+            d_obj=float(np.asarray(bd_obj.to_float64())),
+        )
 
     time_total = time.time() - t0
     if cfg.verbose:

@@ -876,6 +876,25 @@ def solve_hetero_sharded(
         from clrs_tpu.core.solver import compute_residuals as _cres
 
         P_res, p_res, d_res = _cres(problem, x, X_bd, y_out, None, Y=Y_bd)
+        if status in ("stalled", "numerical_failure") and row is not None:
+            # row's gap/objectives were evaluated POST-update; recompute at
+            # the returned (pre-update) iterate so every SolveResult field
+            # describes the same state as the residuals (ADVICE r3)
+            from clrs_tpu.core.solver import (
+                compute_dual_objective as _cdo,
+                compute_duality_gap as _cdg,
+                compute_primal_objective as _cpo,
+            )
+
+            b_po = _cpo(problem, x)
+            b_do = _cdo(problem, y_out, Y_bd)
+            gap = float(np.asarray(_cdg(b_po, b_do).limbs[0]))
+            row = dict(
+                row,
+                gap=gap,
+                p_obj=float(np.asarray(b_po.to_float64())),
+                d_obj=float(np.asarray(b_do.to_float64())),
+            )
         if problem.x_sigma is not None:
             x = xf_div(x, problem.x_sigma)
     else:
