@@ -94,8 +94,66 @@ def pairing_diag(P: XF, m: int) -> XF:
     return XF(d)
 
 
+def _schur_pallas_ok(PX: XF, use_mxu) -> bool:
+    """Route the Schur elementwise core through the fused Pallas kernel
+    (ops/pallas_xf.xf_schur_pairs_pallas) when the matmul mode is already
+    Pallas on TPU.  Besides the fusion win, this removes the largest
+    remaining HLO block from the decomposition phase — the k>=6
+    whole-iteration compile wall (BASELINE.md round-3 measurement log)."""
+    if use_mxu != "pallas":
+        return False
+    import jax
+
+    return PX.k >= 2 and jax.default_backend() == "tpu"
+
+
+def _schur_block_contribution_pallas(
+    PX: XF, PY: XF, HH: XF, m: int, K: int, rmax: int,
+    interpret: bool = False,
+) -> XF:
+    """Pallas-fused variant of the entry formula below: gather the 8
+    pairing-tensor slices per (pair1, pair2) with static index arrays
+    (cheap XLA gathers), run the 4-mul/3-add/weight cascade core as ONE
+    custom-call over all block pairs, then do the exact rank segment-sum
+    and (pair, K)-tiling rearrangement in XLA."""
+    import numpy as np
+
+    from clrs_tpu.ops.pallas_xf import xf_schur_pairs_pallas
+
+    pairs = pair_list(m)
+    P = len(pairs)
+    T = K * rmax
+    # static gather indices over the two m-axes of PX/PY: for block pair
+    # ((r1,s1), (r2,s2)), the 4 products need
+    #   a_i = PX[ar_i, :, ac_i, :]          (t1, t2)
+    #   b_i = PY[br_i, :, bc_i, :]^T        (stored [t2, t1] -> transposed)
+    ar = np.empty((P * P, 4), np.int32)
+    ac = np.empty((P * P, 4), np.int32)
+    br = np.empty((P * P, 4), np.int32)
+    bc = np.empty((P * P, 4), np.int32)
+    for i1, (r1, s1) in enumerate(pairs):
+        for i2, (r2, s2) in enumerate(pairs):
+            q = i1 * P + i2
+            ar[q] = (s1, r1, s1, r1)
+            ac[q] = (r2, r2, s2, s2)
+            br[q] = (s2, s2, r2, r2)
+            bc[q] = (r1, s1, r1, s1)
+    # advanced indexing on axes 1 and 3 (separated by a slice) puts the
+    # index dims in front: (P2, 4, k, T, T) -> transpose to (k, P2, 4, T, T)
+    A4 = jnp.transpose(PX.limbs[:, ar, :, ac, :], (2, 0, 1, 3, 4))
+    B4t = jnp.transpose(PY.limbs[:, br, :, bc, :], (2, 0, 1, 3, 4))
+    B4 = jnp.swapaxes(B4t, -1, -2)  # [t2, t1] -> [t1, t2]
+    W = xf_schur_pairs_pallas(XF(A4), XF(B4), HH, interpret=interpret)
+    # exact rank segment-sum (matches the XLA path's axis order: t2's rank
+    # slots first, then t1's), then (pair, K) block layout
+    W6 = W.reshape((P, P, K, rmax, K, rmax))
+    blk = xf_sum(xf_sum(W6, axis=5), axis=3)  # (P, P, K, K)
+    out = blk.transpose(0, 2, 1, 3).reshape((P * K, P * K))
+    return out
+
+
 def schur_block_contribution(
-    PX: XF, PY: XF, H: XF, m: int, K: int, rmax: int
+    PX: XF, PY: XF, H: XF, m: int, K: int, rmax: int, use_mxu=False
 ) -> XF:
     """Contribution of one (j, l) block to the Schur complement S_j.
 
@@ -114,6 +172,8 @@ def schur_block_contribution(
     T = K * rmax
     HH = xf_mul(XF(H.limbs[:, :, None]), XF(H.limbs[:, None, :]))  # (T, T)
     HH = XF(HH.limbs * 0.25)
+    if _schur_pallas_ok(PX, use_mxu):
+        return _schur_block_contribution_pallas(PX, PY, HH, m, K, rmax)
 
     rows: List[XF] = []
     for (r1, s1) in pairs:

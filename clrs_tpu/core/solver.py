@@ -269,7 +269,10 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool, use
                 PY = compute_pairings(Y_b[l], Vs[l], m, use_mxu)
                 ay.append(pairing_diag(PY, m))
                 S_j = xf_add(
-                    S_j, schur_block_contribution(PX, PY, Hs[l], m, K, rmaxs[l])
+                    S_j,
+                    schur_block_contribution(
+                        PX, PY, Hs[l], m, K, rmaxs[l], use_mxu
+                    ),
                 )
             S_j = xf_sym(S_j)
             Sj_inv, okj = inv_fn(S_j)

@@ -416,6 +416,80 @@ def xf_matmul_pallas(a: XF, b: XF, interpret: bool = False) -> XF:
 
 
 # ---------------------------------------------------------------------------
+# k-limb fused Schur-assembly elementwise core
+# ---------------------------------------------------------------------------
+
+
+def _schur_pairs_kernel_k(a_ref, b_ref, hh_ref, out_ref, *, k: int,
+                          barrier: bool):
+    """One (pair1, pair2) block of the Schur entry formula
+    (MPMP.jl:1373-1396 re-derived, core/kernels.schur_block_contribution):
+
+        w = (a1*b1 + a2*b2 + a3*b3 + a4*b4) * HH        (elementwise, T x T)
+
+    The four products and three adds are k-limb cascades — the HLO bulk
+    of the decomposition phase when expanded by XLA (the k>=6 fused-scan
+    compile wall, BASELINE.md round-3 log).  Here they run as ONE
+    custom-call with the limb count static, whole block VMEM-resident.
+    The add tree matches the XLA path's ((p1+p2)+(p3+p4)) association so
+    the two paths are limb-for-limb comparable."""
+    xo = _XOps(barrier, k)
+    p1 = xo.mul([a_ref[q, 0, 0] for q in range(k)],
+                [b_ref[q, 0, 0] for q in range(k)])
+    p2 = xo.mul([a_ref[q, 0, 1] for q in range(k)],
+                [b_ref[q, 0, 1] for q in range(k)])
+    p3 = xo.mul([a_ref[q, 0, 2] for q in range(k)],
+                [b_ref[q, 0, 2] for q in range(k)])
+    p4 = xo.mul([a_ref[q, 0, 3] for q in range(k)],
+                [b_ref[q, 0, 3] for q in range(k)])
+    acc = xo.add(xo.add(p1, p2), xo.add(p3, p4))
+    w = xo.mul(acc, [hh_ref[q] for q in range(k)])
+    for q in range(k):
+        out_ref[q, 0] = w[q]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _schur_pairs_batched(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
+                         hh_limbs: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """a_limbs, b_limbs: (k, B, 4, T, T); hh_limbs: (k, T, T) ->
+    (k, B, T, T).  One grid program per block-pair b."""
+    k, B, _, T, _ = a_limbs.shape
+    dtype = a_limbs.dtype
+    kern = functools.partial(_schur_pairs_kernel_k, k=k, barrier=interpret)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((k, 1, 4, T, T),
+                         lambda b: (_i0, b, _i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, 4, T, T),
+                         lambda b: (_i0, b, _i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, T, T), lambda b: (_i0, _i0, _i0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 1, T, T), lambda b: (_i0, b, _i0, _i0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, B, T, T), dtype),
+        interpret=interpret,
+    )(a_limbs, b_limbs, hh_limbs)
+
+
+def xf_schur_pairs_pallas(A4: XF, B4: XF, HH: XF,
+                          interpret: bool = False) -> XF:
+    """Fused Schur elementwise core: A4, B4 (P2, 4, T, T), HH (T, T) ->
+    (P2, T, T), all k-limb.  The caller gathers the 8 pairing-tensor
+    slices per (pair1, pair2) and does the (exact) rank segment-sum on
+    the output; this kernel fuses the 4 muls + 3 adds + weight mul that
+    otherwise dominate the decomposition phase's HLO."""
+    assert A4.k == B4.k == HH.k and A4.k >= 2
+    return XF(_schur_pairs_batched(A4.limbs, B4.limbs, HH.limbs,
+                                   interpret=interpret))
+
+
+# ---------------------------------------------------------------------------
 # k-limb fused SPD inverse (generalizes ops/pallas_dd._spd_inverse_kernel)
 # ---------------------------------------------------------------------------
 

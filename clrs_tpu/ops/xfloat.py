@@ -244,6 +244,212 @@ def _renorm(terms, k: int, passes: int = 2, sort: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Scaled expansions (exponent-extended limbs)
+# ---------------------------------------------------------------------------
+#
+# Plain f32 expansions hit an EXPONENT-RANGE wall, not a significand one:
+# limb i of a value v sits at |v|*2^(-24 i), so for O(1) values limbs
+# beyond i~6 fall under f32's smallest subnormal (2^-149) and vanish —
+# measured round 4: representation error plateaus at 2^-152 and a single
+# multiply at 2^-127 for O(1) operands REGARDLESS of k (the round-1/3
+# empirical "k=6 f32 is the healthy ceiling").  The reference's 512-bit
+# regime (MPMP.jl:17) is therefore unreachable with plain f32 limbs.
+#
+# Scaled expansions fix the range, not the arithmetic: limb i is STORED
+# multiplied by 2^(S*i) (S = _SCALE_BITS, 24 for f32), so every stored
+# limb sits near the value's own magnitude and never underflows.  All the
+# cascade algorithms are unchanged except that moving a quantity between
+# adjacent limb levels multiplies by the exact power of two 2^(+-S) —
+# every rescale is single-level and exact, so the scaled ops compute
+# bit-for-bit what the plain expansion ops WOULD compute on hardware with
+# 24k-bit exponent range.  Effective semantics: fixed-precision floating
+# point with a 24k-bit significand over the f32 value range — the same
+# model as the reference's Arb/MPFR at fixed prec.
+#
+# The flag is TRACE-TIME state: solver builders wrap their jitted phases
+# in scaled_mode(cfg.scale_bits) so every (re)trace sees the right value;
+# ad-hoc users (tests, conversions) use the context manager explicitly.
+
+_SCALE_BITS = 0
+
+
+def scale_bits() -> int:
+    return _SCALE_BITS
+
+
+class scaled_mode:
+    """Context manager: run xfloat ops in scaled-expansion mode with the
+    given per-limb scale S (0 = plain expansions)."""
+
+    def __init__(self, s: int):
+        self.s = int(s)
+        self.prev = None
+
+    def __enter__(self):
+        global _SCALE_BITS
+        self.prev = _SCALE_BITS
+        _SCALE_BITS = self.s
+        return self
+
+    def __exit__(self, *exc):
+        global _SCALE_BITS
+        _SCALE_BITS = self.prev
+        return False
+
+
+def _sc_consts(dtype):
+    up = jnp.asarray(2.0 ** _SCALE_BITS, dtype=dtype)
+    down = jnp.asarray(2.0 ** -_SCALE_BITS, dtype=dtype)
+    return up, down
+
+
+def _vec_sum_sc(terms, up, down):
+    """VecSum chain over level-stored terms (terms[i] at level i).
+
+    Each pairwise two_sum runs at the DEEPER operand's level: up-scaling
+    the shallow operand is always exact (can only overflow, bounding the
+    representable range at ~2^(103) for f32/S=24), whereas down-scaling a
+    deeply-cancelled tiny carry to a shallow level squashes it into the
+    subnormal zone and loses its bits (found while validating Newton
+    division: b*(1/b) deposits a 2^-135 residual that a shallow-level
+    store rounds to 14 bits).  down() is applied only to the big hi
+    output, which is level-appropriate by construction."""
+    n = len(terms)
+    out = [None] * n
+    s = terms[n - 1]  # at level n-1
+    for i in range(n - 2, -1, -1):
+        s2, e = two_sum(terms[i] * up, s)  # at level i+1
+        out[i + 1] = e
+        s = s2 * down  # to level i
+    out[0] = s
+    return out
+
+
+def _renorm_chain_sc(vals, k: int, up, down):
+    """The cascade kernels' final renormalization (two_sum chain +
+    VecSum pull-up), level-stored; same deeper-level pairing rule as
+    _vec_sum_sc."""
+    r = []
+    hi, err = two_sum(vals[0] * up, vals[1])  # at level 1
+    r.append(hi * down)  # r[0] at level 0
+    for i in range(2, k):
+        hi, err = two_sum(err * up, vals[i])  # at level i
+        r.append(hi * down)  # r[i-1] at level i-1
+    r.append(err)  # level k-1
+    return _vec_sum_sc(r, up, down)
+
+
+def _cascade_add_sc(al, bl, k: int) -> "XF":
+    """_cascade_add with level-stored limbs (see the scaled-expansions
+    note above): identical exact transforms, single-level rescales at
+    each level crossing."""
+    up, down = _sc_consts(al[0].dtype)
+    s, e = [], []
+    for i in range(k - 1):
+        si, ei = two_sum(al[i], bl[i])
+        s.append(si)
+        e.append(ei * up)
+    vals = [s[0]]
+    carry = [e[0]]
+    for i in range(1, k - 1):
+        v = s[i]
+        nxt = []
+        for c in carry:
+            v, g = two_sum(v, c)
+            nxt.append(g * up)
+        vals.append(v)
+        nxt.append(e[i])
+        carry = nxt
+    top = al[k - 1] + bl[k - 1]
+    for c in carry:
+        top = top + c
+    vals.append(top)
+    return XF.from_limb_list(_renorm_chain_sc(vals, k, up, down))
+
+
+def _exp2_of(x):
+    """floor(log2|x|) per element by exponent-bit extraction (0 for
+    zeros/subnormals — values already below the normalization floor).
+    jnp.frexp lowers through 64-bit bitcasts the TPU x64 rewriter
+    rejects, hence the bit trick (see pow2)."""
+    if x.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        e = ((bits >> 23) & 0xFF) - 127
+        return jnp.where(e > -127, e, 0)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int64)
+    e = ((bits >> 52) & 0x7FF) - 1023
+    return jnp.where(e > -1023, e, jnp.int64(0))
+
+
+def _mul_sc_normalized(al, bl, k: int) -> "XF":
+    """Scaled multiply with per-element operand normalization.
+
+    Stored limbs are anchored at each VALUE's magnitude, so the products
+    a_st*b_st sit at |a*b|: when that falls below ~2^-102 (f32), the
+    two_prod error terms are inexact subnormals and the multiply
+    collapses to ~1 limb of accuracy (found while validating Newton
+    division: the x*e residual product at 2^-108).  Normalizing both
+    operands to O(1) with EXACT power-of-two scalings (limbs[0]'s
+    exponent, applied limbwise) keeps every EFT in the normal range; the
+    two scale-backs are applied separately so each factor's exponent
+    stays in range (transient over/underflow then matches the true
+    product's own representability)."""
+    dtype = al[0].dtype
+    ea = _exp2_of(al[0])
+    eb = _exp2_of(bl[0])
+    sa = pow2(-ea, dtype)
+    sb = pow2(-eb, dtype)
+    out = _cascade_mul_sc([x * sa for x in al], [x * sb for x in bl], k)
+    limbs = out.limbs * pow2(ea, dtype)[None]
+    return XF(limbs * pow2(eb, dtype)[None])
+
+
+def _cascade_mul_sc(al, bl, k: int) -> "XF":
+    """_cascade_mul with level-stored limbs.  A product of level-i and
+    level-j operands is NATURALLY at level i+j storage (the scales
+    multiply), so only the two_prod/two_sum error terms rescale.
+    Callers use _mul_sc_normalized (operand normalization) — this core
+    assumes both operands are O(1)-anchored."""
+    up, down = _sc_consts(al[0].dtype)
+    ka, kb = len(al), len(bl)
+    groups: list = [[] for _ in range(k)]
+    for o in range(k - 1):
+        for i in range(o + 1):
+            j = o - i
+            if i < ka and j < kb:
+                p, e = two_prod(al[i], bl[j])
+                groups[o].append(p)
+                if o + 1 < k:
+                    groups[o + 1].append(e * up)
+    cheap = None
+    for o in (k - 1, k):
+        for i in range(o + 1):
+            j = o - i
+            if i < ka and j < kb:
+                t = al[i] * bl[j]
+                if o == k:
+                    t = t * down  # fold one level up, exactly
+                cheap = t if cheap is None else cheap + t
+    if cheap is not None:
+        groups[k - 1].append(cheap)
+    vals = []
+    for o in range(k):
+        terms = groups[o]
+        if not terms:
+            vals.append(jnp.zeros_like(al[0]))
+            continue
+        v = terms[0]
+        for t in terms[1:]:
+            if o == k - 1:
+                v = v + t
+            else:
+                v, g = two_sum(v, t)
+                groups[o + 1].append(g * up)
+        vals.append(v)
+    return XF.from_limb_list(_renorm_chain_sc(vals, k, up, down))
+
+
+# ---------------------------------------------------------------------------
 # The XF type
 # ---------------------------------------------------------------------------
 
@@ -330,10 +536,14 @@ class XF:
     def to_float64(self) -> Array:
         if self.dtype == jnp.float64 or self.k == 1:
             return self.limbs[0].astype(jnp.float64)
-        # f32 limbs: sum the first few limbs in f64
+        # f32 limbs: sum the first few limbs in f64 (descale if in scaled
+        # mode — each limb i is stored multiplied by 2^(S*i))
         acc = self.limbs[0].astype(jnp.float64)
         for i in range(1, min(self.k, 3)):
-            acc = acc + self.limbs[i].astype(jnp.float64)
+            li = self.limbs[i].astype(jnp.float64)
+            if _SCALE_BITS:
+                li = li * (2.0 ** (-_SCALE_BITS * i))
+            acc = acc + li
         return acc
 
     # -- indexing --
@@ -454,6 +664,11 @@ def xf_add(a: XF, b: XF) -> XF:
     bl = [jnp.broadcast_to(x, shape) for x in b.limb_list]
     if k == 1:
         return XF.from_limb_list([al[0] + bl[0]])
+    if _SCALE_BITS:
+        zero = jnp.zeros(shape, al[0].dtype)
+        al = al + [zero] * (k - len(al))
+        bl = bl + [zero] * (k - len(bl))
+        return _cascade_add_sc(al, bl, k)
     if a.k == 2 and b.k == 2:
         return _dd_add(al, bl)
     if a.k == 3 and b.k == 3:
@@ -699,6 +914,8 @@ def xf_mul(a: XF, b: XF) -> XF:
     bl = [jnp.broadcast_to(x, shape) for x in b.limb_list]
     if k == 1:
         return XF.from_limb_list([al[0] * bl[0]])
+    if _SCALE_BITS:
+        return _mul_sc_normalized(al, bl, k)
     if a.k == 2 and b.k == 2:
         return _dd_mul(al, bl)
     if a.k == 3 and b.k == 3:
@@ -799,14 +1016,86 @@ def xf_div(a: XF, b: XF) -> XF:
         )
     r = xf_reciprocal(b)
     q = xf_mul(a, r)
+    if _SCALE_BITS:
+        # the refinement residual a - b*q cancels ~24k bits deep — below
+        # the scaled value floor it flushes to 0 (no-op); the series
+        # reciprocal is already full-precision, so skip the wasted ops
+        return q
     # one refinement step: q += (a - b*q) * r
     rres = xf_add(a, -xf_mul(b, q))
     return xf_add(q, xf_mul(rres, r))
 
 
-def xf_reciprocal(b: XF) -> XF:
-    """Newton iteration for 1/b, doubling correct bits each step."""
+def _recip_series_sc(b: XF) -> XF:
+    """1/b for scaled mode via the shifted-space series.
+
+    Newton's residual e = 1 - b*x collapses below the scaled
+    representation's value floor (~2^-126 for f32) once x passes ~126
+    correct bits — XLA flushes subnormals, so e rounds to 0 and the
+    iteration stalls at ~210 bits (measured round 4).  Instead factor
+    1/b = r0 / (b*r0) with r0 = fl(1/b0): u = b*r0 = 1 + t with
+    |t| <~ 2^-22, and 1/(1+t) by Horner — every intermediate is O(1) or
+    O(t)-anchored, nothing ever approaches the floor.  k+3 terms give
+    (k+4)*22 > 24k+60 bits for all practical k."""
     k = b.k
+    safe = jnp.where(b.limbs[0] != 0, b.limbs[0], jnp.ones_like(b.limbs[0]))
+    r0 = XF.from_float(1.0 / safe, k=k, dtype=b.dtype)
+    u = xf_mul(b, r0)
+    ones = XF.ones(u.shape, k=k, dtype=b.dtype)
+    t = xf_add(u, -ones)
+    y = ones
+    for _ in range(k + 3):
+        y = xf_add(ones, -xf_mul(t, y))
+    return xf_mul(y, r0)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _rsqrt_coeff_cache(k: int, m: int, dtype_name: str, S: int):
+    """Exact dyadic binomial coefficients binom(-1/2, i), i = 0..m, as
+    k-limb constants: c_i = (-1)^i * C(2i, i) / 4^i (numerators fit f64
+    exactly for all practical m; k limbs store them exactly)."""
+    import mpmath
+
+    from fractions import Fraction
+
+    cs = []
+    for i in range(m + 1):
+        c = Fraction(math.comb(2 * i, i), 4 ** i)
+        if i % 2 == 1:
+            c = -c
+        cs.append(mpmath.mpf(c.numerator) / mpmath.mpf(c.denominator))
+    return xf_from_mp(cs, k=k, dtype=np.dtype(dtype_name).type, scale_bits=S)
+
+
+def _rsqrt_series_sc(a: XF) -> XF:
+    """rsqrt for scaled mode: a^(-1/2) = s0 * (1+t)^(-1/2) with
+    s0 = fl(rsqrt(a0)), u = a*s0*s0 = 1+t, |t| <~ 2^-21, and the
+    binomial series by Horner (exact dyadic coefficients).  Same
+    floor-avoidance rationale as _recip_series_sc.  a0 > 0 assumed
+    (callers mask)."""
+    k = a.k
+    safe = jnp.where(a.limbs[0] > 0, a.limbs[0], jnp.ones_like(a.limbs[0]))
+    s0 = XF.from_float(jax.lax.rsqrt(safe), k=k, dtype=a.dtype)
+    u = xf_mul(xf_mul(a, s0), s0)
+    ones = XF.ones(u.shape, k=k, dtype=a.dtype)
+    t = xf_add(u, -ones)
+    m = (24 * k) // 21 + 2
+    C = _rsqrt_coeff_cache(k, m, np.dtype(a.dtype).name, _SCALE_BITS)
+    y = C[m].broadcast_to(t.shape)
+    for i in range(m - 1, -1, -1):
+        y = xf_add(C[i].broadcast_to(t.shape), xf_mul(t, y))
+    return xf_mul(y, s0)
+
+
+def xf_reciprocal(b: XF) -> XF:
+    """Newton iteration for 1/b, doubling correct bits each step (plain
+    mode); shifted-space series in scaled mode (see _recip_series_sc)."""
+    k = b.k
+    if _SCALE_BITS:
+        return _recip_series_sc(b)
     x = XF.from_float(1.0 / b.limbs[0], k=k, dtype=b.dtype)
     n_iter = max(1, math.ceil(math.log2(k)) + 1)
     for _ in range(n_iter):
@@ -817,10 +1106,15 @@ def xf_reciprocal(b: XF) -> XF:
 
 
 def xf_sqrt(a: XF) -> XF:
-    """sqrt via Newton on rsqrt; a must be >= 0 (0 allowed)."""
+    """sqrt via Newton on rsqrt; a must be >= 0 (0 allowed).  Scaled mode
+    uses the floor-safe binomial series (_rsqrt_series_sc)."""
     k = a.k
     if k == 1:
         return XF.from_limb_list([jnp.sqrt(a.limbs[0])])
+    if _SCALE_BITS:
+        s = xf_mul(a, _rsqrt_series_sc(a))
+        is_zero = a.limbs[0] <= 0
+        return xf_where(is_zero, XF.zeros(s.shape, k=k, dtype=a.dtype), s)
     safe_hi = jnp.where(a.limbs[0] > 0, a.limbs[0], 1.0)
     x = XF.from_float(1.0 / jnp.sqrt(safe_hi), k=k, dtype=a.dtype)
     n_iter = max(1, math.ceil(math.log2(k)) + 1)
@@ -975,36 +1269,69 @@ def xf_norm_max(a: XF) -> XF:
 # ---------------------------------------------------------------------------
 
 
-def xf_from_mp(values, k: int = 2, dtype=np.float64) -> XF:
+def xf_from_mp(values, k: int = 2, dtype=np.float64, scale_bits=None) -> XF:
     """Convert mpmath mpf scalars / nested lists / numpy object arrays to XF.
 
     Rounds to the nearest K-limb expansion (each limb is the correctly
     rounded remainder), which is how the 512-bit sampled data of the
     reference's prepareabc (MPMP.jl:225-407) enters the solver.
+
+    scale_bits (default: the ambient scaled_mode setting) stores limb i
+    multiplied by 2^(scale_bits*i) — the scaled-expansion representation;
+    the residual at each level is rounded AT that level's scale so every
+    stored limb is a correctly rounded f32/f64 near the value's own
+    magnitude (no subnormal loss).
     """
+    import mpmath
+
+    S = _SCALE_BITS if scale_bits is None else int(scale_bits)
     arr = np.asarray(values, dtype=object)
     shape = arr.shape
     flat = arr.reshape(-1)
     limbs = np.zeros((k, flat.size), dtype=dtype)
+    # XLA (CPU and TPU) flushes subnormals to zero (measured round 4:
+    # f32 1e-39 + 1e-39 == 0 under jit), so a stored limb below the min
+    # NORMAL would silently vanish on first device use.  Flush it here
+    # instead: the residual loop re-absorbs the value at the next level,
+    # whose storage is 2^S larger — in scaled mode accuracy self-heals
+    # (at most one slack limb per gap); in plain mode this matches what
+    # the device arithmetic would have computed anyway.
+    min_normal = 2.0 ** -126 if dtype == np.float32 else 2.0 ** -1022
     for idx, v in enumerate(flat):
         rem = v
         for i in range(k):
-            li = dtype(float(rem)) if dtype == np.float64 else dtype(np.float32(float(rem)))
+            scaled = rem * mpmath.mpf(2) ** (S * i) if S else rem
+            li = (
+                dtype(float(scaled))
+                if dtype == np.float64
+                else dtype(np.float32(float(scaled)))
+            )
+            if abs(float(li)) < min_normal:
+                li = dtype(0.0)
             limbs[i, idx] = li
-            rem = rem - float(li) if not hasattr(rem, "__sub__") else rem - float(li)
+            true_li = (
+                mpmath.mpf(float(li)) * mpmath.mpf(2) ** (-S * i)
+                if S
+                else float(li)
+            )
+            rem = rem - true_li
     return XF(jnp.asarray(limbs.reshape((k,) + shape)))
 
 
-def xf_to_mp(a: XF):
+def xf_to_mp(a: XF, scale_bits=None):
     """Convert to nested mpmath mpf (for oracles in tests)."""
     import mpmath
 
+    S = _SCALE_BITS if scale_bits is None else int(scale_bits)
     limbs = np.asarray(a.limbs)
     flat = limbs.reshape(a.k, -1)
     out = np.empty(flat.shape[1], dtype=object)
     for idx in range(flat.shape[1]):
         s = mpmath.mpf(0)
         for i in range(a.k):
-            s += mpmath.mpf(float(flat[i, idx]))
+            t = mpmath.mpf(float(flat[i, idx]))
+            if S:
+                t *= mpmath.mpf(2) ** (-S * i)
+            s += t
         out[idx] = s
     return out.reshape(a.shape)

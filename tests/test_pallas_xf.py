@@ -300,3 +300,46 @@ def test_solver_pallas_steplength_equivalent():
     ga = [h["alpha_p"] for h in a.history]
     gb = [h["alpha_p"] for h in b.history]
     np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "k,m,K,rmax",
+    [(2, 1, 5, 1), (3, 2, 3, 1), (4, 2, 3, 2), (6, 1, 4, 1)],
+)
+def test_schur_pairs_pallas_vs_xla_path(k, m, K, rmax):
+    """The fused Schur elementwise kernel against the XLA cascade path on
+    the same inputs.  Both compute the identical association
+    ((p1+p2)+(p3+p4))*HH and the same segment-sum tree, so they agree to
+    the interpret-mode value bound (single-program configs carry no
+    inlined grid-loop state, but the output buffer still rides the
+    interpret grid loop for P2 > 1)."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.core.kernels import (
+        _schur_block_contribution_pallas,
+        schur_block_contribution,
+    )
+    from clrs_tpu.ops.xfloat import XF, xf_mul
+
+    mpmath.mp.prec = 60 * k + 200
+    rng = np.random.default_rng(hash((k, m, K, rmax)) % 2**32)
+    T = K * rmax
+    PX = xf_from_mp(rand_xf_mp(rng, m * T * m * T, k), k=k).reshape(
+        (m, T, m, T))
+    PY = xf_from_mp(rand_xf_mp(rng, m * T * m * T, k), k=k).reshape(
+        (m, T, m, T))
+    H = xf_from_mp(rand_xf_mp(rng, T, k, scale=2), k=k).reshape((T,))
+
+    ref = schur_block_contribution(PX, PY, H, m, K, rmax)
+    HH = xf_mul(XF(H.limbs[:, :, None]), XF(H.limbs[:, None, :]))
+    HH = XF(HH.limbs * 0.25)
+    got = _schur_block_contribution_pallas(
+        PX, PY, HH, m, K, rmax, interpret=True)
+    assert got.shape == ref.shape
+    rv = np.asarray(ref.limbs, np.float64)
+    gv = np.asarray(got.limbs, np.float64)
+    ref_val = rv[0] + rv[1]
+    got_val = gv[0] + gv[1]
+    scale_max = float(np.max(np.abs(rv[0]))) or 1.0
+    tol = scale_max * 2.0**-48
+    assert np.max(np.abs(ref_val - got_val)) <= tol

@@ -325,3 +325,115 @@ def test_mixed_k_add_mul(ka, kb):
         o = x * y
         scale = max(abs(o), mpmath.mpf(2) ** -200)
         assert abs(g - o) <= scale * tol, (g, o)
+
+
+# ---------------------------------------------------------------------------
+# Scaled expansions (exponent-extended limbs, ops/xfloat.py scaled_mode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [4, 6, 10, 14])
+@pytest.mark.parametrize("mag", ["1", "1e-10", "1e10"])
+def test_scaled_f32_full_precision(k, mag):
+    """Scaled f32 expansions must deliver the full ~24k-bit relative
+    precision on every op at ANY value magnitude — the property plain
+    f32 expansions lack (they plateau at ~127 bits for O(1) values
+    because limb products underflow past 2^-149; measured round 4)."""
+    from clrs_tpu.ops.xfloat import scaled_mode, xf_div, xf_sqrt
+
+    mpmath.mp.prec = 60 * k + 300
+    scale = mpmath.mpf(mag)
+    with scaled_mode(24):
+        a_mp = scale * mpmath.sqrt(2)
+        b_mp = scale * (mpmath.pi / 3)
+        a = xf_from_mp([a_mp], k=k, dtype=np.float32)
+        b = xf_from_mp([b_mp], k=k, dtype=np.float32)
+        a_r, b_r = xf_to_mp(a)[0], xf_to_mp(b)[0]
+        # representation error
+        assert abs(a_r / a_mp - 1) < mpmath.mpf(2) ** (-24 * k + 8)
+        tol = mpmath.mpf(2) ** (-24 * k + 14)
+        checks = [
+            (xf_mul(a, b), a_r * b_r),
+            (xf_add(a, b), a_r + b_r),
+            (xf_div(a, b), a_r / b_r),
+            (xf_sqrt(a), mpmath.sqrt(a_r)),
+            # deep cancellation: (a+b) - a must recover b in full
+            (xf_add(xf_add(a, b), XF(-a.limbs)), b_r),
+        ]
+        for got, want in checks:
+            g = xf_to_mp(got)[0]
+            assert abs(g / want - 1) < tol, (float(g), float(want), k, mag)
+
+
+def test_scaled_f32_beats_plain_wall():
+    """At k=10 f32, scaled mode must exceed the plain-expansion ~127-bit
+    multiply wall by a wide margin (this is the point of the mode)."""
+    from clrs_tpu.ops.xfloat import scaled_mode
+
+    k = 10
+    mpmath.mp.prec = 1000
+    a_mp, b_mp = mpmath.sqrt(2), mpmath.pi / 3
+    # plain f32: caps at ~2^-127 for O(1) values
+    a = xf_from_mp([a_mp], k=k, dtype=np.float32)
+    b = xf_from_mp([b_mp], k=k, dtype=np.float32)
+    plain = abs(xf_to_mp(xf_mul(a, b))[0] / (a_mp * b_mp) - 1)
+    with scaled_mode(24):
+        a = xf_from_mp([a_mp], k=k, dtype=np.float32)
+        b = xf_from_mp([b_mp], k=k, dtype=np.float32)
+        sc = abs(xf_to_mp(xf_mul(a, b))[0] / (a_mp * b_mp) - 1)
+    assert plain > mpmath.mpf(2) ** -150
+    assert sc < mpmath.mpf(2) ** -220
+
+
+def test_scaled_normal_times_tiny():
+    """Normal x tiny products (the Newton-residual shape) keep full
+    precision: operand normalization inside the scaled multiply."""
+    from clrs_tpu.ops.xfloat import scaled_mode
+
+    k = 14
+    mpmath.mp.prec = 1200
+    with scaled_mode(24):
+        a_mp = mpmath.sqrt(2)
+        t_mp = (mpmath.pi / 3) * mpmath.mpf(2) ** -100
+        a = xf_from_mp([a_mp], k=k, dtype=np.float32)
+        t = xf_from_mp([t_mp], k=k, dtype=np.float32)
+        got = xf_to_mp(xf_mul(a, t))[0]
+        want = xf_to_mp(a)[0] * xf_to_mp(t)[0]
+        assert abs(got / want - 1) < mpmath.mpf(2) ** (-24 * k + 16)
+
+
+def test_scaled_f64_limbs():
+    """Scaled mode with f64 limbs (S=48) — used for CPU cross-checks of
+    the TPU configuration."""
+    from clrs_tpu.ops.xfloat import scaled_mode, xf_div
+
+    k = 6
+    mpmath.mp.prec = 800
+    with scaled_mode(48):
+        a_mp, b_mp = mpmath.sqrt(2), mpmath.pi / 3
+        a = xf_from_mp([a_mp], k=k, dtype=np.float64)
+        b = xf_from_mp([b_mp], k=k, dtype=np.float64)
+        g = xf_to_mp(xf_div(a, b))[0]
+        assert abs(g / (xf_to_mp(a)[0] / xf_to_mp(b)[0]) - 1) < mpmath.mpf(2) ** (-52 * k + 20)
+
+
+def test_scaled_compare_where_sum():
+    """Comparisons, selects and tree reductions under scaled mode."""
+    from clrs_tpu.ops.xfloat import scaled_mode, xf_max, xf_sum, xf_where
+
+    k = 6
+    mpmath.mp.prec = 600
+    rng = np.random.default_rng(7)
+    with scaled_mode(24):
+        vals = [mpmath.mpf(float(x)) * mpmath.mpf(2) ** int(e)
+                for x, e in zip(rng.standard_normal(9),
+                                rng.integers(-30, 30, 9))]
+        v = xf_from_mp(vals, k=k, dtype=np.float32)
+        s = xf_to_mp(xf_sum(v, axis=0).reshape((1,)))[0]
+        want = sum(xf_to_mp(v))
+        assert abs(s - want) <= abs(want) * mpmath.mpf(2) ** (-24 * k + 16)
+        a, b = v[0:1], v[1:2]
+        mx = xf_to_mp(xf_max(a, b))[0]
+        assert mx == max(xf_to_mp(a)[0], xf_to_mp(b)[0])
+        w = xf_where(np.array([True]), a, b)
+        assert xf_to_mp(w)[0] == xf_to_mp(a)[0]
