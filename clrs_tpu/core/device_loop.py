@@ -187,14 +187,17 @@ def solve_on_device(
     from clrs_tpu.ops.xfloat import xf_mul as _xf_mul
 
     cfg = cfg or SolverConfig(**kwargs)
+    from clrs_tpu.ops.xfloat import scaled_mode as _scm
+
     if initial is None and len(initial_solutions) == 4:
         st = list(initial_solutions)
-        if problem.x_sigma is not None:
-            st[0] = _xf_mul(st[0], problem.x_sigma)
-        if problem.y_R is not None:
-            from clrs_tpu.ops.xfloat import xf_matmul as _xf_matmul
+        with _scm(cfg.scale_bits):
+            if problem.x_sigma is not None:
+                st[0] = _xf_mul(st[0], problem.x_sigma)
+            if problem.y_R is not None:
+                from clrs_tpu.ops.xfloat import xf_matmul as _xf_matmul
 
-            st[1] = _xf_matmul(problem.y_R, st[1])
+                st[1] = _xf_matmul(problem.y_R, st[1])
         initial = tuple(st)
     state = initial if initial is not None else initial_state(problem, cfg)
 
@@ -272,12 +275,13 @@ def solve_on_device(
             d_obj=float(bd["d_obj"]),
         )
     x, y, X, Y = state
-    from clrs_tpu.ops.xfloat import xf_div, xf_matmul
+    from clrs_tpu.ops.xfloat import scaled_mode, xf_div, xf_matmul
 
-    if problem.x_sigma is not None:
-        x = xf_div(x, problem.x_sigma)
-    if problem.y_R_inv is not None:
-        y = xf_matmul(problem.y_R_inv, y)
+    with scaled_mode(cfg.scale_bits):
+        if problem.x_sigma is not None:
+            x = xf_div(x, problem.x_sigma)
+        if problem.y_R_inv is not None:
+            y = xf_matmul(problem.y_R_inv, y)
     res = SolveResult(
         x=x, X=X, y=y, Y=Y, P=None, p=None, d=None,
         dual_gap=last.get("gap", float("nan")),

@@ -306,6 +306,7 @@ def pack_constraints(
     equilibrate: bool = True,
     orthonormalize: bool = True,
     orthonormalize_B: bool = True,
+    scale_bits: int = 0,
 ) -> SDPProblem:
     """Pack reference-format constraint tuples (A, B, c, H) into an
     SDPProblem (device XF arrays).  Inputs may be mpmath scalars, floats
@@ -321,6 +322,18 @@ def pack_constraints(
         equilibrate=equilibrate, orthonormalize=orthonormalize,
         orthonormalize_B=orthonormalize_B,
     )
+    info = data["info"]
+    if scale_bits:
+        # scaled-expansion packing (ops/xfloat scaled_mode): every
+        # xf_from_mp below stores limb i multiplied by 2^(scale_bits*i)
+        from clrs_tpu.ops.xfloat import scaled_mode
+
+        with scaled_mode(scale_bits):
+            return _pack_from_data(data, k, dtype)
+    return _pack_from_data(data, k, dtype)
+
+
+def _pack_from_data(data, k, dtype) -> SDPProblem:
     info = data["info"]
     packed = []
     for j in range(info.J):

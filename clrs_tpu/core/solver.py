@@ -139,6 +139,17 @@ class SolverConfig:
     # group; the Jacobi eigenvalue bound stays in XLA).  Default None =
     # off (flip per-measurement; the XLA path is the proven default).
 
+    scale_bits: int = 0  # SCALED-expansion mode (ops/xfloat.py
+    # scaled_mode): store limb i multiplied by 2^(scale_bits*i) so f32
+    # limb expansions keep full 24k-bit RELATIVE precision at any value
+    # magnitude — plain f32 expansions hit the exponent floor at ~127
+    # bits for O(1) values, capping the on-chip contract at ~k=6.  Use
+    # 24 with f32 limbs (the TPU's 512-bit-class regime: k=14 f32 scaled
+    # ~ 336 bits ~ the host k=6 f64 rung; k=22 ~ 528 bits ~ the
+    # reference's setprecision(512), MPMP.jl:17).  The problem must be
+    # packed with the SAME scale_bits (pack_constraints / solverank1sdp
+    # thread it).  0 = plain expansions (default).
+
     @property
     def _steplength_pallas(self) -> bool:
         return bool(self.use_pallas_steplength)
@@ -251,7 +262,30 @@ def compute_decomposition(problem: SDPProblem, X_inv, Y, use_lu_schur: bool, use
     k = problem.b.k
     dtype = problem.b.dtype
     n_y = info.n_y
-    inv_fn = xf_inverse_lu if use_lu_schur else xf_spd_inverse
+    if use_lu_schur:
+        inv_fn = xf_inverse_lu
+    elif use_mxu == "pallas" and jax.default_backend() == "tpu":
+        # S_j^-1 and Q^-1 through the fused Pallas SPD-inverse kernel:
+        # with the Schur assembly and matmuls already custom-calls, this
+        # removes the last XLA factorization loops from the decomposition
+        # phase — at high k (the scaled-f32 contract runs, k~14) the
+        # XLA-side cascade HLO of a fori_loop Cholesky is the remaining
+        # compile-cost driver
+        def inv_fn(a):
+            from clrs_tpu.ops.pallas_dd import xf_spd_inverse_pallas_batched
+            from clrs_tpu.ops.pallas_xf import (
+                xf_spd_inverse_pallas_k_batched,
+            )
+
+            f = (
+                xf_spd_inverse_pallas_batched
+                if a.k == 2
+                else xf_spd_inverse_pallas_k_batched
+            )
+            inv_l, okb = f(a.limbs[:, None])
+            return xf_sym(XF(inv_l[:, 0])), jnp.all(okb)
+    else:
+        inv_fn = xf_spd_inverse
 
     Q = XF.zeros((n_y, n_y), k=k, dtype=dtype)
     for js in cluster_groups(info):
@@ -829,7 +863,7 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
         )
         return (x_new, y_new, X_new, Y_new), diag
 
-    return dict(
+    out = dict(
         mu_R_Xinv=phase_mu_R_Xinv,
         decomp=phase_decomp,
         residuals=phase_residuals,
@@ -838,6 +872,28 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
         steplength=phase_steplength,
         update=phase_update,
     )
+    return _wrap_scaled(out, cfg.scale_bits)
+
+
+def _wrap_scaled(fns: dict, scale_bits: int) -> dict:
+    """Wrap phase callables so every call (and hence every trace) runs
+    under scaled_mode(scale_bits) — the flag is trace-time state in
+    ops/xfloat, and re-traces happen inside calls, not at build time."""
+    if not scale_bits:
+        return fns
+    import functools as _ft
+
+    from clrs_tpu.ops.xfloat import scaled_mode
+
+    def wrap(f):
+        @_ft.wraps(f)
+        def g(*a, **kw):
+            with scaled_mode(scale_bits):
+                return f(*a, **kw)
+
+        return g
+
+    return {name: wrap(f) for name, f in fns.items()}
 
 
 def make_fused_step(problem: SDPProblem, cfg: SolverConfig):
@@ -865,7 +921,7 @@ def make_fused_step(problem: SDPProblem, cfg: SolverConfig):
         diag["ok"] = ok_inv & decomp["ok"] & ok_p & ok_d
         return new_state, diag
 
-    return jax.jit(step)
+    return _wrap_scaled(dict(step=jax.jit(step)), cfg.scale_bits)["step"]
 
 
 # ---------------------------------------------------------------------------
@@ -950,6 +1006,7 @@ def solverank1sdp(
     b0=0,
     initial_solutions=(),
     precision_k: int = 2,
+    dtype=None,
     **kwargs,
 ) -> SolveResult:
     """Solve the clustered low-rank SDP.
@@ -958,27 +1015,38 @@ def solverank1sdp(
       - reference-style: solverank1sdp(constraints, b, blockinfo; ...)
         with constraints[j] = (A, B, c, H) nested host data, or
       - packed: solverank1sdp(problem=SDPProblem, ...).
+
+    dtype None = auto: f32 limbs on the TPU backend (f64 there is
+    non-IEEE f32-pair emulation), f64 elsewhere.
     """
     cfg = SolverConfig(**kwargs)
+    from clrs_tpu.ops.xfloat import scaled_mode
+
     if problem is None:
         from clrs_tpu.core.problem import pack_constraints
 
+        if dtype is None:
+            dtype = (
+                np.float32 if jax.default_backend() == "tpu" else np.float64
+            )
         problem = pack_constraints(
-            constraints, b, info=blockinfo, C=C, b0=b0, k=precision_k
+            constraints, b, info=blockinfo, C=C, b0=b0, k=precision_k,
+            dtype=dtype, scale_bits=cfg.scale_bits,
         )
     info = problem.info
 
-    if len(initial_solutions) == 4:
-        state = list(initial_solutions)
-        if problem.x_sigma is not None:
-            # user-facing x -> internal equilibrated scaling
-            state[0] = xf_mul(state[0], problem.x_sigma)
-        if problem.y_R is not None:
-            # user-facing y -> internal orthonormalized y-basis
-            state[1] = xf_matmul(problem.y_R, state[1])
-        state = tuple(state)
-    else:
-        state = initial_state(problem, cfg)
+    with scaled_mode(cfg.scale_bits):
+        if len(initial_solutions) == 4:
+            state = list(initial_solutions)
+            if problem.x_sigma is not None:
+                # user-facing x -> internal equilibrated scaling
+                state[0] = xf_mul(state[0], problem.x_sigma)
+            if problem.y_R is not None:
+                # user-facing y -> internal orthonormalized y-basis
+                state[1] = xf_matmul(problem.y_R, state[1])
+            state = tuple(state)
+        else:
+            state = initial_state(problem, cfg)
 
     phases = make_ipm_phases(problem, cfg)
 
@@ -1202,9 +1270,12 @@ def solverank1sdp(
         # (pre-update) state so every SolveResult field describes the same
         # iterate as the residuals (ADVICE r3).
         state = best_state
-        bp_obj = compute_primal_objective(problem, best_state[0])
-        bd_obj = compute_dual_objective(problem, best_state[1], best_state[3])
-        gap = float(np.asarray(compute_duality_gap(bp_obj, bd_obj).limbs[0]))
+        with scaled_mode(cfg.scale_bits):
+            bp_obj = compute_primal_objective(problem, best_state[0])
+            bd_obj = compute_dual_objective(
+                problem, best_state[1], best_state[3])
+            gap = float(
+                np.asarray(compute_duality_gap(bp_obj, bd_obj).limbs[0]))
         best_row = dict(
             best_row,
             gap=gap,
@@ -1231,12 +1302,13 @@ def solverank1sdp(
         res_out = best_res
 
     x, y, X, Y = state
-    if problem.x_sigma is not None:
-        # internal equilibrated x -> user-facing scaling
-        x = xf_div(x, problem.x_sigma)
-    if problem.y_R_inv is not None:
-        # internal orthonormalized y-basis -> user-facing y
-        y = xf_matmul(problem.y_R_inv, y)
+    with scaled_mode(cfg.scale_bits):
+        if problem.x_sigma is not None:
+            # internal equilibrated x -> user-facing scaling
+            x = xf_div(x, problem.x_sigma)
+        if problem.y_R_inv is not None:
+            # internal orthonormalized y-basis -> user-facing y
+            y = xf_matmul(problem.y_R_inv, y)
     return SolveResult(
         x=x,
         X=X,

@@ -58,14 +58,20 @@ class _XOps:
     v5e, see pallas_dd.py EFT-safety note).  k=2 uses the QD dd sequences
     (matches _Ops.add/mul exactly)."""
 
-    def __init__(self, barrier: bool, k: int):
+    def __init__(self, barrier: bool, k: int, scale_bits: int = 0):
         self.o = _Ops(barrier)
         self.k = k
+        self.S = int(scale_bits)
+        # python-float scale constants: weak typing keeps f32 operands f32
+        self.up = 2.0 ** self.S if self.S else 1.0
+        self.down = 2.0 ** -self.S if self.S else 1.0
 
     def zeros_like(self, x):
         return [jnp.zeros_like(x) for _ in range(self.k)]
 
     def _vec_sum(self, terms):
+        if self.S:
+            return self._vec_sum_sc(terms)
         n = len(terms)
         out = [None] * n
         s = terms[n - 1]
@@ -75,18 +81,53 @@ class _XOps:
         out[0] = s
         return out
 
-    def add(self, al, bl):
-        """k-limb add of limb lists (xfloat._cascade_add; _dd_add at k=2).
-        Operands must already be broadcast to a common shape."""
+    def _vec_sum_sc(self, terms):
+        """Scaled VecSum (xfloat._vec_sum_sc): pair at the deeper level;
+        down() only on the level-appropriate big output."""
+        n = len(terms)
+        out = [None] * n
+        s = terms[n - 1]
+        for i in range(n - 2, -1, -1):
+            s2, e = self.o.two_sum(terms[i] * self.up, s)
+            out[i + 1] = e
+            s = s2 * self.down
+        out[0] = s
+        return out
+
+    def _renorm_chain(self, vals):
+        """Final renormalization shared by add/mul (scaled-aware)."""
         k = self.k
-        if k == 2:
+        if not self.S:
+            r = []
+            hi, err = self.o.two_sum(vals[0], vals[1])
+            r.append(hi)
+            for i in range(2, k):
+                hi, err = self.o.two_sum(err, vals[i])
+                r.append(hi)
+            r.append(err)
+            return self._vec_sum(r)
+        r = []
+        hi, err = self.o.two_sum(vals[0] * self.up, vals[1])
+        r.append(hi * self.down)
+        for i in range(2, k):
+            hi, err = self.o.two_sum(err * self.up, vals[i])
+            r.append(hi * self.down)
+        r.append(err)
+        return self._vec_sum_sc(r)
+
+    def add(self, al, bl):
+        """k-limb add of limb lists (xfloat._cascade_add, or its scaled
+        variant _cascade_add_sc when scale_bits is set; _dd_add at plain
+        k=2).  Operands must already be broadcast to a common shape."""
+        k = self.k
+        if k == 2 and not self.S:
             h, l = self.o.add(al[0], al[1], bl[0], bl[1])
             return [h, l]
         s, e = [], []
         for i in range(k - 1):
             si, ei = self.o.two_sum(al[i], bl[i])
             s.append(si)
-            e.append(ei)
+            e.append(ei * self.up if self.S else ei)
         vals = [s[0]]
         carry = [e[0]]
         for i in range(1, k - 1):
@@ -94,7 +135,7 @@ class _XOps:
             nxt = []
             for c in carry:
                 v, g = self.o.two_sum(v, c)
-                nxt.append(g)
+                nxt.append(g * self.up if self.S else g)
             vals.append(v)
             nxt.append(e[i])
             carry = nxt
@@ -102,23 +143,44 @@ class _XOps:
         for c in carry:
             top = top + c
         vals.append(top)
-        r = []
-        hi, err = self.o.two_sum(vals[0], vals[1])
-        r.append(hi)
-        for i in range(2, k):
-            hi, err = self.o.two_sum(err, vals[i])
-            r.append(hi)
-        r.append(err)
-        return self._vec_sum(r)
+        return self._renorm_chain(vals)
+
+    def _exp2_of(self, x):
+        """floor(log2|x|) per element (f32; 0 for zeros/subnormals)."""
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        e = ((bits >> 23) & 0xFF) - 127
+        return jnp.where(e > -127, e, 0)
+
+    def _pow2(self, e):
+        bits = (jnp.clip(e, -126, 127) + 127) << 23
+        return jax.lax.bitcast_convert_type(bits.astype(jnp.int32),
+                                            jnp.float32)
 
     def mul(self, al, bl):
         """k-limb multiply of limb lists (xfloat._cascade_mul; _dd_mul at
-        k=2).  Broadcasting between operand shapes is allowed (used for
-        the (n, 1) x (1, m) outer products)."""
+        plain k=2; the normalized scaled cascade when scale_bits is set).
+        Broadcasting between operand shapes is allowed (used for the
+        (n, 1) x (1, m) outer products)."""
         k = self.k
-        if k == 2:
+        if k == 2 and not self.S:
             h, l = self.o.mul(al[0], al[1], bl[0], bl[1])
             return [h, l]
+        if self.S:
+            # per-element operand normalization (xfloat._mul_sc_normalized):
+            # value-anchored stored limbs make small products' EFT error
+            # terms subnormal (flushed on both XLA backends and the VPU)
+            ea = self._exp2_of(al[0])
+            eb = self._exp2_of(bl[0])
+            sa = self._pow2(-ea)
+            sb = self._pow2(-eb)
+            out = self._mul_core([x * sa for x in al], [x * sb for x in bl])
+            fa = self._pow2(ea)
+            fb = self._pow2(eb)
+            return [(x * fa) * fb for x in out]
+        return self._mul_core(al, bl)
+
+    def _mul_core(self, al, bl):
+        k = self.k
         groups: list = [[] for _ in range(k)]
         for o in range(k - 1):
             for i in range(o + 1):
@@ -127,13 +189,15 @@ class _XOps:
                     p, e = self.o.two_prod(al[i], bl[j])
                     groups[o].append(p)
                     if o + 1 < k:
-                        groups[o + 1].append(e)
+                        groups[o + 1].append(e * self.up if self.S else e)
         cheap = None
         for o in (k - 1, k):
             for i in range(o + 1):
                 j = o - i
                 if i < k and j < k:
                     t = al[i] * bl[j]
+                    if o == k and self.S:
+                        t = t * self.down  # fold one level up, exactly
                     cheap = t if cheap is None else cheap + t
         if cheap is not None:
             groups[k - 1].append(cheap)
@@ -150,16 +214,9 @@ class _XOps:
                     v = v + t
                 else:
                     v, g = self.o.two_sum(v, t)
-                    groups[o + 1].append(g)
+                    groups[o + 1].append(g * self.up if self.S else g)
             vals.append(v)
-        r = []
-        hi, err = self.o.two_sum(vals[0], vals[1])
-        r.append(hi)
-        for i in range(2, k):
-            hi, err = self.o.two_sum(err, vals[i])
-            r.append(hi)
-        r.append(err)
-        return self._vec_sum(r)
+        return self._renorm_chain(vals)
 
     def neg(self, al):
         return [-x for x in al]
@@ -172,28 +229,45 @@ class _XOps:
         return [jnp.ones_like(x)] + [jnp.zeros_like(x)] * (self.k - 1)
 
     def recip(self, bl):
-        """Newton iteration for 1/b (mirrors xfloat.xf_reciprocal).
-        b must be nonzero (callers pre-mask)."""
+        """Newton iteration for 1/b (mirrors xfloat.xf_reciprocal); the
+        floor-safe shifted-space series in scaled mode (mirrors
+        xfloat._recip_series_sc — Newton residuals collapse below the
+        scaled value floor).  b must be nonzero (callers pre-mask)."""
         import math as _math
 
         k = self.k
         safe = jnp.where(bl[0] != 0, bl[0], jnp.ones_like(bl[0]))
-        x = [1.0 / safe] + [jnp.zeros_like(safe)] * (k - 1)
         ones = self.ones_like(safe)
+        if self.S:
+            r0 = [1.0 / safe] + [jnp.zeros_like(safe)] * (k - 1)
+            u = self.mul(bl, r0)
+            t = self.add(u, self.neg(ones))
+            y = ones
+            for _ in range(k + 3):
+                y = self.add(ones, self.neg(self.mul(t, y)))
+            return self.mul(y, r0)
+        x = [1.0 / safe] + [jnp.zeros_like(safe)] * (k - 1)
         for _ in range(max(1, _math.ceil(_math.log2(k)) + 1)):
             e = self.add(ones, self.neg(self.mul(bl, x)))
             x = self.add(x, self.mul(x, e))
         return x
 
     def div(self, al, bl):
-        """a / b with one refinement step (mirrors xfloat.xf_div)."""
+        """a / b with one refinement step (mirrors xfloat.xf_div; the
+        refinement is skipped in scaled mode where its residual flushes
+        below the value floor and the series reciprocal is already
+        full-precision)."""
         r = self.recip(bl)
         q = self.mul(al, r)
+        if self.S:
+            return q
         res = self.add(al, self.neg(self.mul(bl, q)))
         return self.add(q, self.mul(res, r))
 
     def sqrt(self, al):
-        """sqrt via rsqrt Newton (mirrors xfloat.xf_sqrt); a >= 0, 0 ok."""
+        """sqrt via rsqrt Newton (mirrors xfloat.xf_sqrt); the binomial
+        series in scaled mode (mirrors xfloat._rsqrt_series_sc).
+        a >= 0, 0 ok."""
         import math as _math
 
         k = self.k
@@ -203,8 +277,24 @@ class _XOps:
         safe = [jnp.where(pos, al[0], one)] + [
             jnp.where(pos, al[i], zero) for i in range(1, k)
         ]
-        x = [jax.lax.rsqrt(safe[0])] + [zero] * (k - 1)
         ones = self.ones_like(safe[0])
+        if self.S:
+            from clrs_tpu.ops.xfloat import _rsqrt_coeff_np
+
+            s0 = [jax.lax.rsqrt(safe[0])] + [zero] * (k - 1)
+            u = self.mul(self.mul(safe, s0), s0)
+            t = self.add(u, self.neg(ones))
+            m = (24 * k) // 21 + 2
+            Cs = _rsqrt_coeff_np(
+                k, m, "float32", self.S
+            )  # (k, m+1) exact dyadic constants, numpy (trace-safe)
+            y = [jnp.full_like(safe[0], float(Cs[q, m])) for q in range(k)]
+            for i in range(m - 1, -1, -1):
+                ci = [jnp.full_like(safe[0], float(Cs[q, i])) for q in range(k)]
+                y = self.add(ci, self.mul(t, y))
+            s = self.mul(safe, self.mul(y, s0))
+            return [jnp.where(pos, si, zero) for si in s]
+        x = [jax.lax.rsqrt(safe[0])] + [zero] * (k - 1)
         for _ in range(max(1, _math.ceil(_math.log2(k)) + 1)):
             e = self.add(ones, self.neg(self.mul(safe, self.mul(x, x))))
             x = self.add(x, self.scale_half(self.mul(x, e)))
@@ -319,14 +409,14 @@ def _matmul_batched(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
 
 
 def _matmul_kernel_k(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
-                     barrier: bool):
+                     barrier: bool, scale_bits: int = 0):
     """k-limb grid step (b, kk): C[b] += sum_{r<kc} A[:, kc*kk+r] ⊗ B[kc*kk+r, :].
 
     Same layout strategy as _matmul_kernel, with the limb axis widened to
     k and the dd sequences replaced by the _XOps cascades.  The
     accumulator is ONE stacked (k, n, m) scratch (see the tuple-carry
     note on _matmul_kernel)."""
-    xo = _XOps(barrier, k)
+    xo = _XOps(barrier, k, scale_bits)
     kk = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -349,9 +439,10 @@ def _matmul_kernel_k(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
             out_ref[i, 0] = c[i]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "scale_bits"))
 def _matmul_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      scale_bits: int = 0) -> jnp.ndarray:
     """a_limbs: (k, B, n, K), b_limbs: (k, B, K, m) -> (k, B, n, m)."""
     k, B, n, K = a_limbs.shape
     m = b_limbs.shape[-1]
@@ -365,7 +456,8 @@ def _matmul_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
         a_limbs = jnp.pad(a_limbs, ((0, 0),) * 3 + ((0, Kp - K),))
         b_limbs = jnp.pad(b_limbs, ((0, 0),) * 2 + ((0, Kp - K), (0, 0)))
     a5 = a_limbs.transpose(0, 1, 3, 2)[..., None]  # (k, B, Kp, n, 1)
-    kern = functools.partial(_matmul_kernel_k, k=k, kc=kc, barrier=interpret)
+    kern = functools.partial(_matmul_kernel_k, k=k, kc=kc, barrier=interpret,
+                             scale_bits=scale_bits)
     return pl.pallas_call(
         kern,
         grid=(B, Kp // kc),
@@ -408,10 +500,19 @@ def xf_matmul_pallas(a: XF, b: XF, interpret: bool = False) -> XF:
     B = 1
     for d in batch:
         B *= d
-    fn = _matmul_batched if k == 2 else _matmul_batched_k
-    out = fn(
-        al.reshape(k, B, n, K), bl.reshape(k, B, K, m), interpret=interpret
-    )
+    from clrs_tpu.ops.xfloat import scale_bits as _sb
+
+    S = _sb()
+    if k == 2 and not S:
+        out = _matmul_batched(
+            al.reshape(k, B, n, K), bl.reshape(k, B, K, m),
+            interpret=interpret,
+        )
+    else:
+        out = _matmul_batched_k(
+            al.reshape(k, B, n, K), bl.reshape(k, B, K, m),
+            interpret=interpret, scale_bits=S,
+        )
     return XF(out.reshape((k,) + batch + (n, m)))
 
 
@@ -421,7 +522,7 @@ def xf_matmul_pallas(a: XF, b: XF, interpret: bool = False) -> XF:
 
 
 def _schur_pairs_kernel_k(a_ref, b_ref, hh_ref, out_ref, *, k: int,
-                          barrier: bool):
+                          barrier: bool, scale_bits: int = 0):
     """One (pair1, pair2) block of the Schur entry formula
     (MPMP.jl:1373-1396 re-derived, core/kernels.schur_block_contribution):
 
@@ -433,7 +534,7 @@ def _schur_pairs_kernel_k(a_ref, b_ref, hh_ref, out_ref, *, k: int,
     custom-call with the limb count static, whole block VMEM-resident.
     The add tree matches the XLA path's ((p1+p2)+(p3+p4)) association so
     the two paths are limb-for-limb comparable."""
-    xo = _XOps(barrier, k)
+    xo = _XOps(barrier, k, scale_bits)
     p1 = xo.mul([a_ref[q, 0, 0] for q in range(k)],
                 [b_ref[q, 0, 0] for q in range(k)])
     p2 = xo.mul([a_ref[q, 0, 1] for q in range(k)],
@@ -448,15 +549,17 @@ def _schur_pairs_kernel_k(a_ref, b_ref, hh_ref, out_ref, *, k: int,
         out_ref[q, 0] = w[q]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "scale_bits"))
 def _schur_pairs_batched(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
                          hh_limbs: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         scale_bits: int = 0) -> jnp.ndarray:
     """a_limbs, b_limbs: (k, B, 4, T, T); hh_limbs: (k, T, T) ->
     (k, B, T, T).  One grid program per block-pair b."""
     k, B, _, T, _ = a_limbs.shape
     dtype = a_limbs.dtype
-    kern = functools.partial(_schur_pairs_kernel_k, k=k, barrier=interpret)
+    kern = functools.partial(_schur_pairs_kernel_k, k=k, barrier=interpret,
+                             scale_bits=scale_bits)
     return pl.pallas_call(
         kern,
         grid=(B,),
@@ -484,9 +587,11 @@ def xf_schur_pairs_pallas(A4: XF, B4: XF, HH: XF,
     slices per (pair1, pair2) and does the (exact) rank segment-sum on
     the output; this kernel fuses the 4 muls + 3 adds + weight mul that
     otherwise dominate the decomposition phase's HLO."""
+    from clrs_tpu.ops.xfloat import scale_bits as _sb
+
     assert A4.k == B4.k == HH.k and A4.k >= 2
     return XF(_schur_pairs_batched(A4.limbs, B4.limbs, HH.limbs,
-                                   interpret=interpret))
+                                   interpret=interpret, scale_bits=_sb()))
 
 
 # ---------------------------------------------------------------------------
@@ -495,7 +600,8 @@ def xf_schur_pairs_pallas(A4: XF, B4: XF, HH: XF,
 
 
 def _spd_inverse_kernel_k(a_ref, out_ref, okf_ref, l_ref, w_ref, *,
-                          n: int, k: int, barrier: bool):
+                          n: int, k: int, barrier: bool,
+                          scale_bits: int = 0):
     """One block: A = L L^T (Cholesky), W = L^-1 (forward solve),
     A^-1 = W^T W — all in k-limb expansion arithmetic, VMEM-resident.
 
@@ -504,7 +610,7 @@ def _spd_inverse_kernel_k(a_ref, out_ref, okf_ref, l_ref, w_ref, *,
     loop counters, f32 pivot flags reduced on the XLA side); the dd
     (hi, lo) pairs become length-k limb lists over the _XOps cascades,
     with L and W each ONE stacked (k, n, n) scratch."""
-    xo = _XOps(barrier, k)
+    xo = _XOps(barrier, k, scale_bits)
     dtype = a_ref.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -594,16 +700,20 @@ def _spd_inverse_kernel_k(a_ref, out_ref, okf_ref, l_ref, w_ref, *,
         out_ref[0, i, :, :] = inv[i]
 
 
-def xf_spd_inverse_pallas_k(limbs: jnp.ndarray, interpret: bool = False):
+def xf_spd_inverse_pallas_k(limbs: jnp.ndarray, interpret: bool = False,
+                            scale_bits=None):
     """Batched k-limb SPD inverse: limbs (B, k, n, n) -> (inv (B, k, n, n),
     ok (B,) bool).  One grid program per block, everything VMEM-resident;
     the limb count is a static kernel parameter, so XLA compile cost is
     flat in k (replaces the XLA fori_loop factorization whose unrolled
     cascade HLO is the k>=4 compile wall)."""
+    from clrs_tpu.ops.xfloat import scale_bits as _sb
+
     B, k, n, _ = limbs.shape
     dtype = limbs.dtype
-    kernel = functools.partial(_spd_inverse_kernel_k, n=n, k=k,
-                               barrier=interpret)
+    kernel = functools.partial(
+        _spd_inverse_kernel_k, n=n, k=k, barrier=interpret,
+        scale_bits=_sb() if scale_bits is None else scale_bits)
     inv, okf = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -645,7 +755,8 @@ def xf_spd_inverse_pallas_k_batched(x_limbs: jnp.ndarray,
 
 
 def _steplen_sandwich_kernel_k(m_ref, dm_ref, out_ref, okf_ref, l_ref, w_ref,
-                               *, n: int, k: int, barrier: bool):
+                               *, n: int, k: int, barrier: bool,
+                               scale_bits: int = 0):
     """One block of the step-length oracle (MPMP.jl:1842-1880): Cholesky
     of M, forward solve W1 = L^-1 dM, then column-oriented forward solve
     X = W1 L^-T, all in k-limb VMEM arithmetic; the OUTPUT is the plain
@@ -653,7 +764,7 @@ def _steplen_sandwich_kernel_k(m_ref, dm_ref, out_ref, okf_ref, l_ref, w_ref,
     (ops/linalg.jacobi_min_eig) — the consumer needs ~1e-6 relative
     accuracy (gamma slack), so limb0+limb1 suffices.  Same Mosaic rules
     as the SPD-inverse kernel."""
-    xo = _XOps(barrier, k)
+    xo = _XOps(barrier, k, scale_bits)
     dtype = m_ref.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -754,7 +865,8 @@ def _steplen_sandwich_kernel_k(m_ref, dm_ref, out_ref, okf_ref, l_ref, w_ref,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_col, jnp.int32(0),
                       unroll=False)
 
-    out_ref[0, :, :] = w_ref[0] + w_ref[1]  # value for the Jacobi bound
+    # value for the Jacobi bound (descale limb 1 in scaled mode)
+    out_ref[0, :, :] = w_ref[0] + w_ref[1] * xo.down
 
 
 def xf_steplen_sandwich_pallas_k(m_limbs: jnp.ndarray, dm_limbs: jnp.ndarray,
@@ -762,10 +874,12 @@ def xf_steplen_sandwich_pallas_k(m_limbs: jnp.ndarray, dm_limbs: jnp.ndarray,
     """Batched fused step-length sandwich: (B, k, n, n) x2 ->
     (W (B, n, n) plain dtype, ok (B,) bool).  One grid program per block;
     the k-limb Cholesky + two triangular solves never touch XLA HLO."""
+    from clrs_tpu.ops.xfloat import scale_bits as _sb
+
     B, k, n, _ = m_limbs.shape
     dtype = m_limbs.dtype
     kernel = functools.partial(_steplen_sandwich_kernel_k, n=n, k=k,
-                               barrier=interpret)
+                               barrier=interpret, scale_bits=_sb())
     w, okf = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -65,6 +65,16 @@ def _barriers_off() -> bool:
             _NO_BARRIERS = _NO_BARRIERS_ENV != "0"
         else:
             _NO_BARRIERS = jax.default_backend() == "tpu"
+    if _SCALE_BITS and _NO_BARRIERS_ENV != "1":
+        # SCALED mode keeps barriers even on TPU: XLA:TPU's simplifier
+        # does break EFTs in the scaled series graphs (measured round 4:
+        # the Horner 1 + (-t*y) chain collapses the small operand —
+        # div/sqrt drop to seed precision 2^-26 bare, full 24k-bit with
+        # barriers).  The r3 "TPU preserves EFTs" probe covered the
+        # plain-cascade graph shapes only.  Hot scaled ops belong in the
+        # Pallas kernels (Mosaic lowers arithmetic as written); the
+        # XLA-side leftovers take the fusion hit for correctness.
+        return False
     return _NO_BARRIERS
 
 
@@ -1053,21 +1063,41 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _rsqrt_coeff_cache(k: int, m: int, dtype_name: str, S: int):
+def _rsqrt_coeff_np(k: int, m: int, dtype_name: str, S: int):
     """Exact dyadic binomial coefficients binom(-1/2, i), i = 0..m, as
-    k-limb constants: c_i = (-1)^i * C(2i, i) / 4^i (numerators fit f64
-    exactly for all practical m; k limbs store them exactly)."""
+    k-limb scaled constants in a NUMPY (k, m+1) array: c_i =
+    (-1)^i * C(2i, i) / 4^i (numerators fit f64 exactly for all
+    practical m; k limbs store them exactly).  Numpy-only so it is safe
+    to call (and cache) inside traced Pallas kernel bodies."""
     import mpmath
 
     from fractions import Fraction
 
-    cs = []
+    dtype = np.dtype(dtype_name).type
+    min_normal = 2.0 ** -126 if dtype == np.float32 else 2.0 ** -1022
+    limbs = np.zeros((k, m + 1), dtype=dtype)
     for i in range(m + 1):
         c = Fraction(math.comb(2 * i, i), 4 ** i)
         if i % 2 == 1:
             c = -c
-        cs.append(mpmath.mpf(c.numerator) / mpmath.mpf(c.denominator))
-    return xf_from_mp(cs, k=k, dtype=np.dtype(dtype_name).type, scale_bits=S)
+        rem = mpmath.mpf(c.numerator) / mpmath.mpf(c.denominator)
+        for q in range(k):
+            scaled = rem * mpmath.mpf(2) ** (S * q) if S else rem
+            li = dtype(float(scaled))
+            if abs(float(li)) < min_normal:
+                li = dtype(0.0)
+            limbs[q, i] = li
+            true_li = (
+                mpmath.mpf(float(li)) * mpmath.mpf(2) ** (-S * q)
+                if S
+                else mpmath.mpf(float(li))
+            )
+            rem = rem - true_li
+    return limbs
+
+
+def _rsqrt_coeff_cache(k: int, m: int, dtype_name: str, S: int):
+    return XF(jnp.asarray(_rsqrt_coeff_np(k, m, dtype_name, S)))
 
 
 def _rsqrt_series_sc(a: XF) -> XF:

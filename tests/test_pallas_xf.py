@@ -343,3 +343,97 @@ def test_schur_pairs_pallas_vs_xla_path(k, m, K, rmax):
     scale_max = float(np.max(np.abs(rv[0]))) or 1.0
     tol = scale_max * 2.0**-48
     assert np.max(np.abs(ref_val - got_val)) <= tol
+
+
+@pytest.mark.parametrize("k,batch,n,K,m", [(4, (), 4, 5, 3), (6, (), 3, 4, 3)])
+def test_matmul_pallas_scaled_vs_mpmath(k, batch, n, K, m):
+    """The k-limb kernel in SCALED mode (f32, S=24) against mpmath: full
+    ~24k-bit relative precision, which plain f32 cannot reach for k>~6
+    (exponent floor)."""
+    from clrs_tpu.ops.xfloat import scaled_mode
+
+    mpmath.mp.prec = 60 * k + 300
+    rng = np.random.default_rng(hash((k, n, K, m)) % 2**32)
+    with scaled_mode(24):
+        sa = batch + (n, K)
+        sb = batch + (K, m)
+        a = xf_from_mp(
+            rand_xf_mp(rng, int(np.prod(sa)), k, scale=12), k=k,
+            dtype=np.float32).reshape(sa)
+        b = xf_from_mp(
+            rand_xf_mp(rng, int(np.prod(sb)), k, scale=12), k=k,
+            dtype=np.float32).reshape(sb)
+        Am = np.array(xf_to_mp(a.reshape((-1,))), dtype=object).reshape(sa)
+        Bm = np.array(xf_to_mp(b.reshape((-1,))), dtype=object).reshape(sb)
+        C = Am.reshape((-1, n, K)) @ Bm.reshape((-1, K, m))
+        C = C.reshape(batch + (n, m))
+        got = xf_matmul_pallas(a, b, interpret=True)
+        G = np.array(xf_to_mp(got.reshape((-1,))), dtype=object).reshape(
+            batch + (n, m))
+        tol = mpmath.mpf(2) ** (-24 * k + 18)
+        for idx in np.ndindex(C.shape):
+            denom = abs(C[idx]) + mpmath.mpf(2) ** -400
+            assert abs((G[idx] - C[idx]) / denom) < tol, (idx,)
+
+
+def test_schur_pairs_pallas_scaled_vs_xla():
+    """Scaled-mode Schur kernel against the scaled XLA cascade path."""
+    from clrs_tpu.core.kernels import (
+        _schur_block_contribution_pallas,
+        schur_block_contribution,
+    )
+    from clrs_tpu.ops.xfloat import XF, scaled_mode, xf_mul
+
+    k, m, K, rmax = 4, 2, 3, 1
+    mpmath.mp.prec = 60 * k + 200
+    rng = np.random.default_rng(11)
+    with scaled_mode(24):
+        T = K * rmax
+        PX = xf_from_mp(rand_xf_mp(rng, m * T * m * T, k), k=k,
+                        dtype=np.float32).reshape((m, T, m, T))
+        PY = xf_from_mp(rand_xf_mp(rng, m * T * m * T, k), k=k,
+                        dtype=np.float32).reshape((m, T, m, T))
+        H = xf_from_mp(rand_xf_mp(rng, T, k, scale=2), k=k,
+                       dtype=np.float32).reshape((T,))
+        ref = schur_block_contribution(PX, PY, H, m, K, rmax)
+        HH = xf_mul(XF(H.limbs[:, :, None]), XF(H.limbs[:, None, :]))
+        HH = XF(HH.limbs * 0.25)
+        got = _schur_block_contribution_pallas(
+            PX, PY, HH, m, K, rmax, interpret=True)
+        rv = np.array(xf_to_mp(ref.reshape((-1,))), dtype=object)
+        gv = np.array(xf_to_mp(got.reshape((-1,))), dtype=object)
+        scale_max = max(abs(v) for v in rv) + mpmath.mpf(2) ** -200
+        for r, g in zip(rv, gv):
+            assert abs(r - g) <= scale_max * mpmath.mpf(2) ** -48
+
+
+def test_spd_inverse_pallas_scaled():
+    """Scaled-mode fused SPD inverse (interpret): reconstruction to the
+    expansion precision on an ill-conditioned block."""
+    from clrs_tpu.ops.xfloat import XF, scaled_mode
+
+    from clrs_tpu.ops.pallas_xf import xf_spd_inverse_pallas_k
+
+    k, n = 4, 4
+    mpmath.mp.prec = 60 * k + 300
+    rng = np.random.default_rng(5)
+    with scaled_mode(24):
+        M = rng.standard_normal((n, n))
+        Mm = [[sum(mpmath.mpf(float(M[i, t])) * mpmath.mpf(float(M[j, t]))
+                   * mpmath.mpf(10) ** -(3 * t) for t in range(n))
+               + (mpmath.mpf("1e-8") if i == j else 0) for j in range(n)]
+              for i in range(n)]
+        Mx = xf_from_mp(np.array(Mm, dtype=object), k=k, dtype=np.float32)
+        inv, ok = xf_spd_inverse_pallas_k(
+            np.asarray(Mx.limbs)[None], interpret=True)
+        assert bool(np.asarray(ok)[0])
+        invx = XF(np.asarray(inv)[0])
+        Im = np.array(xf_to_mp(invx.reshape((-1,))), dtype=object).reshape(
+            n, n)
+        resid = max(
+            abs(sum(Mm[i][t] * Im[t, j] for t in range(n))
+                - (1 if i == j else 0))
+            for i in range(n) for j in range(n)
+        )
+        # cond ~1e11 eats ~37 bits of the 96-bit budget
+        assert resid < mpmath.mpf(2) ** -40, float(resid)
