@@ -167,3 +167,40 @@ def test_hetero_nonzero_C():
     assert abs(out.dual_objective - 12.3) < 1e-9
     x = np.asarray(out.x.to_float64()).ravel()
     assert abs(x[0] - 0.7) < 1e-7 and abs(x[1] - 0.3) < 1e-7
+
+
+def test_hetero_k3_full_contract_bitwise():
+    """HEALTHY high-precision sharded solve (VERDICT r3 item 5): at k=3
+    f64 limbs (the precision this config family needs for the full
+    contract), the hetero driver (a) produces 1-vs-8-device BITWISE
+    identical iterates, and (b) lands the FULL reference contract
+    (gap < 1e-15 AND errors < 1e-30, MPMP.jl:607-609) SHARDED, on
+    Delsarte dim-8 2d=6."""
+    import bench
+    import clrs_tpu.core.solver as S
+    from clrs_tpu.parallel.hetero import solve_hetero_sharded
+
+    problem, _ = bench.build_problem(d=3, dtype=np.float64, k=3)
+
+    # (a) bitwise 1-vs-8 at k=3 over a few steps
+    s1, d1 = run_steps(problem, 1, n_steps=3)
+    s8, d8 = run_steps(problem, min(8, len(jax.devices())), n_steps=3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) the full contract, sharded
+    cfg = S.SolverConfig(
+        omega_p=100.0, omega_d=100.0, verbose=False,
+        duality_gap_threshold=1e-15,
+        primal_error_threshold=1e-30, dual_error_threshold=1e-30,
+    )
+    mesh = make_cluster_mesh(min(8, len(jax.devices())))
+    out = solve_hetero_sharded(problem, mesh, maxiterations=150, cfg=cfg)
+    assert out.status == "optimal", (out.status, out.dual_gap)
+    row = out.history[-1]
+    assert out.dual_gap < 1e-15
+    assert max(row["P_err"], row["p_err"]) < 1e-30
+    assert row["d_err"] < 1e-30
+    # kissing-number bound is exactly 240 on this config
+    assert abs(-out.dual_objective - 240.0) < 1e-9

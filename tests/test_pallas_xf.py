@@ -437,3 +437,27 @@ def test_spd_inverse_pallas_scaled():
         )
         # cond ~1e11 eats ~37 bits of the 96-bit budget
         assert resid < mpmath.mpf(2) ** -40, float(resid)
+
+
+@pytest.mark.parametrize("k,n,K,m,bn,bm", [(2, 12, 9, 10, 8, 8),
+                                           (4, 10, 7, 12, 8, 8)])
+def test_matmul_pallas_tiled_interpret(k, n, K, m, bn, bm):
+    """The tiled kernel (output (bn, bm) tiles, contraction streamed)
+    against the mpmath oracle — shapes deliberately NOT tile multiples
+    to exercise the exact zero-padding."""
+    from clrs_tpu.ops.pallas_xf import xf_matmul_pallas_tiled
+
+    mpmath.mp.prec = 60 * k + 200
+    rng = np.random.default_rng(hash((k, n, K, m)) % 2**32)
+    a = xf_from_mp(rand_xf_mp(rng, n * K, k), k=k).reshape((n, K))
+    b = xf_from_mp(rand_xf_mp(rng, K * m, k), k=k).reshape((K, m))
+    Am = np.array(xf_to_mp(a.reshape((-1,))), dtype=object).reshape(n, K)
+    Bm = np.array(xf_to_mp(b.reshape((-1,))), dtype=object).reshape(K, m)
+    C = Am @ Bm
+    got = xf_matmul_pallas_tiled(a, b, interpret=True, bn=bn, bm=bm)
+    v = np.asarray(got.limbs, np.float64)
+    val = v[0] + v[1]
+    scale_max = float(np.max(np.abs(v[0]))) or 1.0
+    tol = scale_max * 2.0**-48  # interpret-mode bound (module docstring)
+    for idx in np.ndindex(val.shape):
+        assert abs(float(val[idx] - float(C[idx]))) <= tol, (idx,)
