@@ -48,6 +48,13 @@ import jax as _jax
 # array is created.
 _jax.config.update("jax_enable_x64", True)
 
+# The axon TPU plugin force-registers itself and overrides JAX_PLATFORMS
+# (CLAUDE.md); CLRS_FORCE_CPU=1 pins the CPU backend the supported way
+# (what tests/conftest.py does) so scripts can run CPU-side while the one
+# TPU chip is busy with a bench/compile.
+if _os.environ.get("CLRS_FORCE_CPU", "") == "1":
+    _jax.config.update("jax_platforms", "cpu")
+
 # The solver's jitted iteration graphs are large; cache compiled executables
 # across processes (tests, benchmarks, repeated solves).
 _cache_dir = _os.environ.get(

@@ -584,16 +584,70 @@ def _schur_pairs_batched(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     )(a_limbs, b_limbs, hh_limbs)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "scale_bits", "tb"))
+def _schur_pairs_batched_tiled(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
+                               hh_limbs: jnp.ndarray,
+                               interpret: bool = False,
+                               scale_bits: int = 0,
+                               tb: int = 128) -> jnp.ndarray:
+    """Row-tiled variant of _schur_pairs_batched for T too large for the
+    whole (k, 4, T, T) operand set to sit in VMEM (the large-single-
+    cluster roofline regime): the kernel body is pure elementwise, so the
+    SAME kernel runs on (tb, T) row bands — only the BlockSpecs change.
+    Rows are zero-padded up to the tile multiple (exact; sliced off)."""
+    k, B, _, T, _ = a_limbs.shape
+    dtype = a_limbs.dtype
+    Tp = ((T + tb - 1) // tb) * tb
+    pad = ((0, 0), (0, 0), (0, 0), (0, Tp - T), (0, 0))
+    a_limbs = jnp.pad(a_limbs, pad)
+    b_limbs = jnp.pad(b_limbs, pad)
+    hh_limbs = jnp.pad(hh_limbs, ((0, 0), (0, Tp - T), (0, 0)))
+    kern = functools.partial(_schur_pairs_kernel_k, k=k, barrier=interpret,
+                             scale_bits=scale_bits)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Tp // tb),
+        in_specs=[
+            pl.BlockSpec((k, 1, 4, tb, T),
+                         lambda b, t: (_i0, b, _i0, t, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, 4, tb, T),
+                         lambda b, t: (_i0, b, _i0, t, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tb, T), lambda b, t: (_i0, t, _i0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 1, tb, T), lambda b, t: (_i0, b, t, _i0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, B, Tp, T), dtype),
+        interpret=interpret,
+    )(a_limbs, b_limbs, hh_limbs)
+    return out[:, :, :T, :]
+
+
 def xf_schur_pairs_pallas(A4: XF, B4: XF, HH: XF,
                           interpret: bool = False) -> XF:
     """Fused Schur elementwise core: A4, B4 (P2, 4, T, T), HH (T, T) ->
     (P2, T, T), all k-limb.  The caller gathers the 8 pairing-tensor
     slices per (pair1, pair2) and does the (exact) rank segment-sum on
     the output; this kernel fuses the 4 muls + 3 adds + weight mul that
-    otherwise dominate the decomposition phase's HLO."""
+    otherwise dominate the decomposition phase's HLO.
+
+    Per-program VMEM footprint is 10·k·T² f32 elements (two (k,4,T,T)
+    operand blocks + HH + out); beyond the budget the dispatch switches
+    to row tiles (same kernel body — it is elementwise)."""
     from clrs_tpu.ops.xfloat import scale_bits as _sb
 
     assert A4.k == B4.k == HH.k and A4.k >= 2
+    k = A4.k
+    T = A4.shape[-1]
+    if 10 * k * T * T > 4_000_000:
+        # largest 8-multiple row band keeping the program under ~2M f32
+        tb = max(8, (2_000_000 // (10 * k * T)) // 8 * 8)
+        return XF(_schur_pairs_batched_tiled(
+            A4.limbs, B4.limbs, HH.limbs, interpret=interpret,
+            scale_bits=_sb(), tb=tb))
     return XF(_schur_pairs_batched(A4.limbs, B4.limbs, HH.limbs,
                                    interpret=interpret, scale_bits=_sb()))
 

@@ -345,6 +345,31 @@ def test_schur_pairs_pallas_vs_xla_path(k, m, K, rmax):
     assert np.max(np.abs(ref_val - got_val)) <= tol
 
 
+@pytest.mark.parametrize("k,tb,T", [(2, 8, 20), (3, 16, 16)])
+def test_schur_pairs_tiled_matches_untiled(k, tb, T):
+    """The row-tiled Schur-pairs dispatch (large-T VMEM fallback) is the
+    SAME kernel body on row bands: bit-identical to the untiled batched
+    call, including the zero-padded non-divisible-T case."""
+    from clrs_tpu.ops.pallas_xf import (
+        _schur_pairs_batched,
+        _schur_pairs_batched_tiled,
+    )
+
+    rng = np.random.default_rng(hash((k, tb, T)) % 2**32)
+    B = 2
+    a = rng.standard_normal((k, B, 4, T, T)) * (2.0 ** (-40 * np.arange(
+        k, dtype=np.float64)))[:, None, None, None, None]
+    b = rng.standard_normal((k, B, 4, T, T)) * (2.0 ** (-40 * np.arange(
+        k, dtype=np.float64)))[:, None, None, None, None]
+    hh = rng.standard_normal((k, T, T)) * (2.0 ** (-40 * np.arange(
+        k, dtype=np.float64)))[:, None, None]
+    ref = np.asarray(_schur_pairs_batched(a, b, hh, interpret=True))
+    got = np.asarray(
+        _schur_pairs_batched_tiled(a, b, hh, interpret=True, tb=tb))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("k,batch,n,K,m", [(4, (), 4, 5, 3), (6, (), 3, 4, 3)])
 def test_matmul_pallas_scaled_vs_mpmath(k, batch, n, K, m):
     """The k-limb kernel in SCALED mode (f32, S=24) against mpmath: full
