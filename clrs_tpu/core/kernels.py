@@ -51,9 +51,14 @@ def _mm(a: XF, b: XF, use_mxu) -> XF:
         # has to chew (the k>=4 compile wall, CLAUDE.md), so small blocks
         # are worth it there too.
         size_ok = n * K * m >= (10000 if a.k == 2 else 2000)
+        # No upper limb cap: the generic kernel takes k as a STATIC
+        # parameter, and the k~14 scaled-f32 contract runs (the
+        # reference's 512-bit regime on-chip, VERDICT r3 item 2) depend
+        # on every matmul staying a custom-call — the XLA expansion path
+        # at k=14 is the compile wall the kernels exist to avoid.
         if (
             a.k == b.k
-            and 2 <= a.k <= 8
+            and a.k >= 2
             and size_ok
             and jax.default_backend() == "tpu"
         ):
