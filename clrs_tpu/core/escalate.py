@@ -8,9 +8,11 @@ the user.  Here it is automated as a two-stage ladder:
 1. the DEVICE ladder: XLA limb rungs, warm-starting each rung from the
    previous iterate re-rounded to the new limb count.  Default (2, 3) on
    f64 backends (~106 -> ~159 bits; k >= 4 XLA:CPU compiles want opt
-   level 0 and a subprocess, core/subproc.py) and (2, 4, 6, 8) on f32
-   backends (TPU: each f32 limb carries 24 bits, so matching a given
-   precision needs ~2x the limbs — "double-k").
+   level 0 and a subprocess, core/subproc.py) and
+   (2, 4, 6, (10, 24), (14, 24)) on f32 backends (TPU: each f32 limb
+   carries 24 bits — "double-k"; beyond k~6 plain f32 expansions hit the
+   exponent floor, so the high rungs run SCALED expansions (k, S) at
+   S=24 scale bits, reaching ~240/336 bits on-chip).
 2. the HOST ladder: the native high-precision path
    (core/host_solver.py over native/xfkern.cpp), default (6, 10) f64
    limbs (~318 -> ~530 bits; k=10 is the reference's 512-bit regime,
@@ -33,7 +35,8 @@ from clrs_tpu.core.solver import SolveResult, solverank1sdp
 from clrs_tpu.ops.xfloat import XF
 
 
-def _reround_state(state, k: int, dtype=None, host: bool = False):
+def _reround_state(state, k: int, dtype=None, host: bool = False,
+                   from_scale: int = 0, to_scale: int = 0):
     """Pad/truncate the iterate's limb counts for the next rung.
 
     host=True keeps the limbs as NUMPY-backed HXF values: the host rungs
@@ -41,16 +44,31 @@ def _reround_state(state, k: int, dtype=None, host: bool = False):
     jnp.asarray places f64 data in the TPU's non-IEEE f32-pair emulation,
     whose storage roundtrip re-rounds limb 0 and ZEROES the low limbs
     (CLAUDE.md), silently destroying the warm start (found round 3: the
-    warm-started host rung failed its first Cholesky on a mangled X)."""
+    warm-started host rung failed its first Cholesky on a mangled X).
+
+    from_scale/to_scale: the SCALED-expansion representation of the
+    source/target rung (ops/xfloat.py scaled_mode): stored limb i is the
+    true limb times 2^(scale*i).  Crossing representations multiplies
+    limb i by the exact power 2^((to-from)*i) in f64 (up to 2^±312 at
+    k=14/S=24 — in f64 range; the power-of-two scaling is exact, the
+    final cast to an f32 target rounds once)."""
 
     def conv(x):
         limbs = np.asarray(x.limbs)
-        if dtype is not None and limbs.dtype != dtype:
-            # exact: every f32 limb is exactly representable in f64 (and a
-            # canonical-overlap renormalization happens on first use)
-            limbs = limbs.astype(dtype)
-        if k > limbs.shape[0]:
-            pad = np.zeros((k - limbs.shape[0],) + limbs.shape[1:], limbs.dtype)
+        kf = limbs.shape[0]
+        target_dtype = np.dtype(dtype) if dtype is not None else limbs.dtype
+        if from_scale != to_scale:
+            sh = np.ldexp(
+                np.ones(kf),
+                (to_scale - from_scale) * np.arange(kf),
+            ).reshape((kf,) + (1,) * (limbs.ndim - 1))
+            limbs = limbs.astype(np.float64) * sh
+        if limbs.dtype != target_dtype:
+            # f32 -> f64 is exact (canonical-overlap renorm happens on
+            # first use); f64 -> f32 rounds the warm start once
+            limbs = limbs.astype(target_dtype)
+        if k > kf:
+            pad = np.zeros((k - kf,) + limbs.shape[1:], limbs.dtype)
             limbs = np.concatenate([limbs, pad], axis=0)
         else:
             limbs = limbs[:k]
@@ -69,12 +87,24 @@ def _reround_state(state, k: int, dtype=None, host: bool = False):
     )
 
 
-def default_device_ladder() -> Sequence[int]:
-    """Platform-dependent default: double-k on f32 backends (TPU)."""
+def _norm_rung(rung):
+    """A ladder entry is an int k (plain expansions) or a (k, scale_bits)
+    tuple (SCALED f32 expansions, ops/xfloat.py scaled_mode — the
+    representation that lifts the f32 exponent floor for k > ~6)."""
+    if isinstance(rung, (tuple, list)):
+        k, sb = rung
+        return int(k), int(sb)
+    return int(rung), 0
+
+
+def default_device_ladder() -> Sequence:
+    """Platform-dependent default: double-k on f32 backends (TPU), then
+    the scaled-f32 contract rung (k=14 ~ 336 bits, the regime where the
+    full reference contract lands — BASELINE.md round-4)."""
     import jax
 
     if jax.default_backend() == "tpu":
-        return (2, 4, 6, 8)
+        return (2, 4, 6, (10, 24), (14, 24))
     return (2, 3)
 
 
@@ -137,10 +167,13 @@ def solve_with_escalation(
 
     remaining = kwargs.pop("maxiterations", 500)
     escalatable = True
-    for rung, k in enumerate(k_ladder):
+    last_sb = 0  # scale_bits of the rung that produced `res`
+    for rung, entry in enumerate(k_ladder):
+        k, sb = _norm_rung(entry)
         t_rung = time.time()
         if verbose and rung > 0:
-            print(f"[escalate] restarting at k={k} limbs (warm start)")
+            tag = f" scaled S={sb}" if sb else ""
+            print(f"[escalate] restarting at k={k} limbs{tag} (warm start)")
         if isolate_slow_compiles and subproc.needs_isolation(k):
             if verbose:
                 print(
@@ -159,19 +192,22 @@ def solve_with_escalation(
                 platform=subprocess_platform,
                 verbose=verbose,
                 maxiterations=remaining,
+                scale_bits=sb,
                 **kwargs,
             )
         elif driver == "device_loop":
             from clrs_tpu.core.device_loop import solve_on_device
 
             problem = pack_constraints(
-                constraints, b, info=blockinfo, C=C, b0=b0, k=k
+                constraints, b, info=blockinfo, C=C, b0=b0, k=k,
+                scale_bits=sb,
             )
             res = solve_on_device(
                 problem,
                 initial_solutions=state,
                 verbose=verbose,
                 maxiterations=remaining,
+                scale_bits=sb,
                 **kwargs,
             )
         else:
@@ -185,10 +221,12 @@ def solve_with_escalation(
                 initial_solutions=state,
                 verbose=verbose,
                 maxiterations=remaining,
+                scale_bits=sb,
                 **kwargs,
             )
+        last_sb = sb
         rung_log.append(dict(
-            path="device", k=k, iterations=res.iterations,
+            path="device", k=k, scale_bits=sb, iterations=res.iterations,
             status=res.status, wall=round(time.time() - t_rung, 2)))
         if res.converged:
             return _finish(res)
@@ -200,8 +238,10 @@ def solve_with_escalation(
         if not escalatable:
             break  # max_iterations etc. — escalation will not help
         remaining = max(10, remaining - res.iterations)
-        nxt = k_ladder[min(rung + 1, len(k_ladder) - 1)]
-        state = _reround_state((res.x, res.y, res.X, res.Y), nxt)
+        nk, nsb = _norm_rung(k_ladder[min(rung + 1, len(k_ladder) - 1)])
+        state = _reround_state(
+            (res.x, res.y, res.X, res.Y), nk, from_scale=sb, to_scale=nsb,
+        )
 
     # host ladder: native high-precision rungs (f64 limbs always)
     if escalatable and host_ladder:
@@ -216,9 +256,11 @@ def solve_with_escalation(
                 )
             init = ()
             if res is not None and len(state) == 4:
+                # host rungs store PLAIN f64 limbs: de-scale if the last
+                # device rung ran in scaled representation
                 init = _reround_state(
                     (res.x, res.y, res.X, res.Y), k, dtype=np.float64,
-                    host=True,
+                    host=True, from_scale=last_sb, to_scale=0,
                 )
             res = solverank1sdp_host(
                 constraints,

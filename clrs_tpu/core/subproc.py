@@ -53,7 +53,13 @@ def current_opt_level() -> Optional[int]:
 
 def needs_isolation(k: int) -> bool:
     """True when a solve at k limbs wants a different backend opt level
-    than this process was initialized with."""
+    than this process was initialized with.  The opt-level cliff is an
+    XLA:CPU (LLVM backend) phenomenon; on the TPU backend high-k phases
+    compile through Mosaic custom-calls and never want isolation."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return False
     want = 0 if k >= SLOW_COMPILE_K else 1
     have = current_opt_level()
     if have is None:

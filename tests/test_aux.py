@@ -155,6 +155,50 @@ def test_escalation_on_degenerate_mpmp():
     assert res.dual_gap < 1e-6
 
 
+def test_reround_state_scale_crossing():
+    """Warm starts crossing expansion representations (plain <-> scaled,
+    core/escalate._reround_state): the per-limb power-of-two rescale is
+    EXACT for f32->f32 (same significand, shifted exponent) and for the
+    scaled-f32 -> plain-f64 host handoff."""
+    import mpmath
+
+    from clrs_tpu.core.escalate import _reround_state
+    from clrs_tpu.ops.xfloat import scaled_mode, xf_from_mp, xf_to_mp
+
+    mpmath.mp.prec = 400
+    vals = np.array(
+        [mpmath.mpf(3) / 7, mpmath.mpf(10) ** -6 * mpmath.sqrt(2)],
+        dtype=object,
+    )
+    x = xf_from_mp(vals, k=4, dtype=np.float32)  # plain f32, ~2^-96 rel
+    ref = xf_to_mp(x)
+    state = (x, x, [[x]], [[x]])
+
+    # plain f32 k=4 -> scaled f32 k=6 (the TPU ladder's climb)
+    up = _reround_state(state, 6, from_scale=0, to_scale=24)
+    with scaled_mode(24):
+        got = xf_to_mp(up[0])
+    assert all(g == r for g, r in zip(got, ref)), (got, ref)
+    assert np.asarray(up[2][0][0].limbs).shape[0] == 6
+
+    # scaled f32 k=6 -> plain f64 host rung (the ladder's handoff)
+    class _W:  # minimal XF-like wrapper for the scaled source
+        def __init__(self, limbs):
+            self.limbs = limbs
+
+    down = _reround_state(
+        tuple([_W(np.asarray(s.limbs)) for s in (up[0], up[1])]
+              + [[[_W(np.asarray(up[2][0][0].limbs))]],
+                 [[_W(np.asarray(up[3][0][0].limbs))]]]),
+        6, dtype=np.float64, host=True, from_scale=24, to_scale=0,
+    )
+    from clrs_tpu.core.hostxf import HXF
+
+    assert isinstance(down[0], HXF)
+    back = xf_to_mp(down[0])
+    assert all(g == r for g, r in zip(back, ref)), (back, ref)
+
+
 def test_sdpb_export(tmp_path):
     from clrs_tpu.apps.sdpb_export import write_sdpb_files
 
