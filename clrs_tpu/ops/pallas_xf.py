@@ -146,15 +146,23 @@ class _XOps:
         return self._renorm_chain(vals)
 
     def _exp2_of(self, x):
-        """floor(log2|x|) per element (f32; 0 for zeros/subnormals)."""
+        """floor(log2|x|) per element (f32; 0 for zeros/subnormals).
+
+        Every scalar is an EXPLICIT jnp.int32: with jax_enable_x64 on,
+        a bare Python-int literal promotes through a weak-int64
+        convert_element_type that Mosaic's _convert_helper lowers by
+        recursively re-emitting itself (measured: the k=14 scaled kernel
+        trace dies in unbounded _convert_element_type_lowering_rule
+        recursion with bare literals, lowers fine with typed ones)."""
+        i32 = jnp.int32
         bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-        e = ((bits >> 23) & 0xFF) - 127
-        return jnp.where(e > -127, e, 0)
+        e = ((bits >> i32(23)) & i32(0xFF)) - i32(127)
+        return jnp.where(e > i32(-127), e, i32(0))
 
     def _pow2(self, e):
-        bits = (jnp.clip(e, -126, 127) + 127) << 23
-        return jax.lax.bitcast_convert_type(bits.astype(jnp.int32),
-                                            jnp.float32)
+        i32 = jnp.int32
+        bits = (jnp.clip(e, i32(-126), i32(127)) + i32(127)) << i32(23)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
     def mul(self, al, bl):
         """k-limb multiply of limb lists (xfloat._cascade_mul; _dd_mul at
