@@ -416,8 +416,19 @@ def _matmul_batched(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     )(a5, b_limbs)
 
 
+# Beyond this limb count the kc accumulation runs as a fori_loop instead
+# of a Python unroll: the unrolled body keeps ~kc * k^2 live tile temps on
+# Mosaic's scoped-VMEM stack (measured: k=14, kc=16, (36, 17) tiles wants
+# 83 MB vs the 16 MB limit), while the loop body's live set is one
+# iteration's.  The loop is numerically IDENTICAL (same association; the
+# B-row is selected with an exact one-hot mask because sublane axes admit
+# no dynamic indexing in Mosaic).
+_LOOP_KC_MIN_K = 6
+
+
 def _matmul_kernel_k(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
-                     barrier: bool, scale_bits: int = 0):
+                     barrier: bool, scale_bits: int = 0,
+                     loop_kc: bool = False):
     """k-limb grid step (b, kk): C[b] += sum_{r<kc} A[:, kc*kk+r] ⊗ B[kc*kk+r, :].
 
     Same layout strategy as _matmul_kernel, with the limb axis widened to
@@ -432,14 +443,38 @@ def _matmul_kernel_k(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    c = [acc[i] for i in range(k)]
-    for r in range(kc):  # static unroll
-        a_l = [a5_ref[i, 0, r] for i in range(k)]  # (n, 1) sublane vectors
-        b_l = [b_ref[i, 0, r : r + 1, :] for i in range(k)]  # (1, m) lanes
-        p = xo.mul(a_l, b_l)  # broadcast (n, 1) x (1, m) -> (n, m)
-        c = xo.add(c, p)
-    for i in range(k):
-        acc[i] = c[i]
+    if loop_kc:
+        dtype = a5_ref.dtype
+        one = jnp.asarray(1.0, dtype)
+        zero = jnp.asarray(0.0, dtype)
+        kcd, m = b_ref.shape[-2:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (kcd, m), 0)
+
+        def body(r, _):
+            c = [acc[i] for i in range(k)]
+            a_l = [a5_ref[i, 0, r] for i in range(k)]  # leading-axis dyn idx
+            sel = jnp.where(rows == r, one, zero)  # exact one-hot row pick
+            b_l = [
+                jnp.sum(b_ref[i, 0] * sel, axis=0, keepdims=True)
+                for i in range(k)
+            ]
+            s = xo.add(c, xo.mul(a_l, b_l))
+            for i in range(k):
+                acc[i] = s[i]
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(kc), body, jnp.int32(0),
+                          unroll=False)
+        c = [acc[i] for i in range(k)]
+    else:
+        c = [acc[i] for i in range(k)]
+        for r in range(kc):  # static unroll
+            a_l = [a5_ref[i, 0, r] for i in range(k)]  # (n, 1) sublanes
+            b_l = [b_ref[i, 0, r : r + 1, :] for i in range(k)]  # (1, m)
+            p = xo.mul(a_l, b_l)  # broadcast (n, 1) x (1, m) -> (n, m)
+            c = xo.add(c, p)
+        for i in range(k):
+            acc[i] = c[i]
 
     @pl.when(kk == nk - 1)
     def _():
@@ -465,7 +500,8 @@ def _matmul_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
         b_limbs = jnp.pad(b_limbs, ((0, 0),) * 2 + ((0, Kp - K), (0, 0)))
     a5 = a_limbs.transpose(0, 1, 3, 2)[..., None]  # (k, B, Kp, n, 1)
     kern = functools.partial(_matmul_kernel_k, k=k, kc=kc, barrier=interpret,
-                             scale_bits=scale_bits)
+                             scale_bits=scale_bits,
+                             loop_kc=k >= _LOOP_KC_MIN_K)
     return pl.pallas_call(
         kern,
         grid=(B, Kp // kc),
@@ -982,10 +1018,12 @@ def xf_steplen_sandwich_pallas_k(m_limbs: jnp.ndarray, dm_limbs: jnp.ndarray,
 
 
 def _matmul_kernel_k_tiled(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
-                           barrier: bool, scale_bits: int = 0):
+                           barrier: bool, scale_bits: int = 0,
+                           loop_kc: bool = False):
     """Grid step (b, i, j, kk): C_tile[i,j] += sum_{r<kc} A[:, r] ⊗ B[r, :]
     restricted to the (bn, bm) tile.  kk is the FASTEST grid axis so the
-    VMEM accumulator is private to each (i, j) tile."""
+    VMEM accumulator is private to each (i, j) tile.  loop_kc: see
+    _LOOP_KC_MIN_K (high-k scoped-VMEM bound; bit-identical)."""
     xo = _XOps(barrier, k, scale_bits)
     kk = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -994,14 +1032,38 @@ def _matmul_kernel_k_tiled(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    c = [acc[i] for i in range(k)]
-    for r in range(kc):
-        a_l = [a5_ref[i, 0, r] for i in range(k)]  # (bn, 1)
-        b_l = [b_ref[i, 0, r : r + 1, :] for i in range(k)]  # (1, bm)
-        p = xo.mul(a_l, b_l)
-        c = xo.add(c, p)
-    for i in range(k):
-        acc[i] = c[i]
+    if loop_kc:
+        dtype = a5_ref.dtype
+        one = jnp.asarray(1.0, dtype)
+        zero = jnp.asarray(0.0, dtype)
+        kcd, bm = b_ref.shape[-2:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (kcd, bm), 0)
+
+        def body(r, _):
+            c = [acc[i] for i in range(k)]
+            a_l = [a5_ref[i, 0, r] for i in range(k)]
+            sel = jnp.where(rows == r, one, zero)
+            b_l = [
+                jnp.sum(b_ref[i, 0] * sel, axis=0, keepdims=True)
+                for i in range(k)
+            ]
+            s = xo.add(c, xo.mul(a_l, b_l))
+            for i in range(k):
+                acc[i] = s[i]
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(kc), body, jnp.int32(0),
+                          unroll=False)
+        c = [acc[i] for i in range(k)]
+    else:
+        c = [acc[i] for i in range(k)]
+        for r in range(kc):
+            a_l = [a5_ref[i, 0, r] for i in range(k)]  # (bn, 1)
+            b_l = [b_ref[i, 0, r : r + 1, :] for i in range(k)]  # (1, bm)
+            p = xo.mul(a_l, b_l)
+            c = xo.add(c, p)
+        for i in range(k):
+            acc[i] = c[i]
 
     @pl.when(kk == nk - 1)
     def _():
@@ -1030,7 +1092,8 @@ def _matmul_batched_k_tiled(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
         b_limbs, ((0, 0), (0, 0), (0, Kp - K), (0, mpd - m)))
     a5 = a_limbs.transpose(0, 1, 3, 2)[..., None]  # (k, B, Kp, npd, 1)
     kern = functools.partial(_matmul_kernel_k_tiled, k=k, kc=kc,
-                             barrier=interpret, scale_bits=scale_bits)
+                             barrier=interpret, scale_bits=scale_bits,
+                             loop_kc=k >= _LOOP_KC_MIN_K)
     out = pl.pallas_call(
         kern,
         grid=(B, npd // bn, mpd // bm, Kp // kc),

@@ -345,6 +345,49 @@ def test_schur_pairs_pallas_vs_xla_path(k, m, K, rmax):
     assert np.max(np.abs(ref_val - got_val)) <= tol
 
 
+@pytest.mark.parametrize("k", [6, 7])
+def test_matmul_loop_kc_matches_unrolled(k):
+    """The fori_loop kc accumulation (the high-k scoped-VMEM bound,
+    _LOOP_KC_MIN_K) is bit-identical to the Python-unrolled body: same
+    association, and the one-hot B-row selection is exact."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops import pallas_xf as px
+
+    rng = np.random.default_rng(k)
+    n, K, m = 5, 11, 4
+    al = np.stack([
+        rng.standard_normal((1, n, K)) * 2.0 ** (-30 * q) for q in range(k)
+    ]).astype(np.float64)
+    bl = np.stack([
+        rng.standard_normal((1, K, m)) * 2.0 ** (-30 * q) for q in range(k)
+    ]).astype(np.float64)
+
+    outs = {}
+    for loop in (False, True):
+        orig = px._matmul_kernel_k
+        try:
+            px_kern = ft.partial(orig)
+            # drive the batched entry with the loop flag forced
+            def forced(a5_ref, b_ref, out_ref, acc, *, k, kc, barrier,
+                       scale_bits=0, loop_kc=None, _loop=loop):
+                return orig(a5_ref, b_ref, out_ref, acc, k=k, kc=kc,
+                            barrier=barrier, scale_bits=scale_bits,
+                            loop_kc=_loop)
+
+            px._matmul_kernel_k = forced
+            px._matmul_batched_k.clear_cache()
+            outs[loop] = np.asarray(px._matmul_batched_k(
+                jnp.asarray(al), jnp.asarray(bl), interpret=True))
+        finally:
+            px._matmul_kernel_k = orig
+            px._matmul_batched_k.clear_cache()
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
 @pytest.mark.parametrize("k,tb,T", [(2, 8, 20), (3, 16, 16)])
 def test_schur_pairs_tiled_matches_untiled(k, tb, T):
     """The row-tiled Schur-pairs dispatch (large-T VMEM fallback) is the
