@@ -46,7 +46,7 @@ t0 = time.time()
 out = solve_hetero_sharded(problem, mesh, maxiterations=maxiter, cfg=cfg)
 row = out.history[-1] if out.history else {}
 print(f"\nhetero-sharded k=3 (8 virtual devices): status={out.status} "
-      f"gap={out.dual_gap:.3e} bound={-out.dual_objective:.15f} "
+      f"gap={out.dual_gap:.3e} bound={1.0 - out.dual_objective:.15f} "
       f"iters={out.iterations} wall={time.time()-t0:.0f}s")
 if row:
     print(f"final errors: P={row['P_err']:.2e} p={row['p_err']:.2e} "
