@@ -150,6 +150,20 @@ class SolverConfig:
     # packed with the SAME scale_bits (pack_constraints / solverank1sdp
     # thread it).  0 = plain expansions (default).
 
+    split_direction: Optional[bool] = None  # run the direction phase as
+    # THREE separately-jitted sub-phases (Z+rhs / saddle solve / dX+dY)
+    # in the phase-split driver.  At high k the one-graph direction phase
+    # is the largest remaining XLA HLO (its elementwise cascades are not
+    # yet custom-calls) and can exceed the remote TPU compile helper's
+    # memory budget (measured: k=14 scaled sp16 — helper SIGKILLed on the
+    # direction phase after every other phase compiled).  Default None =
+    # AUTO: split when k >= 10.
+
+    def _split_direction(self, k: int) -> bool:
+        if self.split_direction is None:
+            return k >= 10
+        return bool(self.split_direction)
+
     @property
     def _steplength_pallas(self) -> bool:
         return bool(self.use_pallas_steplength)
@@ -519,23 +533,30 @@ def compute_residuals(problem: SDPProblem, x, X, y, A_Y, use_mxu: bool = False,
     return P, p, d
 
 
-def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur, refine_steps: int = 1, use_mxu: bool = False):
-    """Predictor/corrector direction via the saddle-point factorization
-    (MPMP.jl:1682-1824)."""
-    from clrs_tpu.core.batched import cluster_groups, map_blocks, stack_xf
+def compute_direction_zrhs(problem, P, p, d, R, X_inv, Y,
+                           use_mxu: bool = False):
+    """Direction stage 1 (MPMP.jl:1698-1739): Z = Sym(X^-1 (P Y - R)),
+    rhs_x = -d - Tr(A_* Z), rhs_y = p."""
+    from clrs_tpu.core.batched import map_blocks
 
     info = problem.info
-
-    # Z = Sym(X^-1 (P Y - R)), batched by block size
     Z = map_blocks(
         lambda Pb, Yb, Rb, Xib: xf_sym(
             xf_matmul(Xib, xf_add(xf_matmul(Pb, Yb), -Rb))
         ),
         info, P, Y, R, X_inv,
     )
-
     rhs_x = xf_add(-d, -compute_trace_A_generic(problem, Z, use_mxu))
-    rhs_y = p
+    return rhs_x, p
+
+
+def compute_direction_solve(problem, rhs_x, rhs_y, decomp,
+                            refine_steps: int = 1):
+    """Direction stage 2 (MPMP.jl:1743-1776): the saddle solve with
+    iterative refinement; returns (dx concatenated, dy)."""
+    from clrs_tpu.core.batched import cluster_groups, stack_xf
+
+    info = problem.info
 
     # saddle solve of [S -B; B^T 0] (dx; dy) = (rhs_x; rhs_y) from the
     # materialized inverses — all matmuls (MPMP.jl:1743-1776 re-derived):
@@ -631,18 +652,40 @@ def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp, use_lu_schur
         dxs = [xf_add(dxs[j], ddxs[j]) for j in range(info.J)]
         dy = xf_add(dy, ddy)
     dx = XF(jnp.concatenate([d_.limbs for d_ in dxs], axis=1))
+    return dx, dy
 
-    # dX = P + sum_i dx_i A_i
+
+def compute_direction_dxdy(problem, P, R, X_inv, Y, dx,
+                           use_mxu: bool = False):
+    """Direction stage 3 (MPMP.jl:1779-1821): dX = P + sum_i dx_i A_i,
+    dY = Sym(X^-1 (R - dX Y))."""
+    from clrs_tpu.core.batched import map_blocks
+
+    info = problem.info
     dX = compute_weighted_A(problem, dx, use_mxu)
     dX = bd_map(xf_add, dX, P)
-
-    # dY = Sym(X^-1 (R - dX Y)), batched by block size
     dY = map_blocks(
         lambda Rb, dXb, Yb, Xib: xf_sym(
             xf_matmul(Xib, xf_add(Rb, -xf_matmul(dXb, Yb)))
         ),
         info, R, dX, Y, X_inv,
     )
+    return dX, dY
+
+
+def compute_search_direction(problem, P, p, d, R, X_inv, Y, decomp,
+                             use_lu_schur, refine_steps: int = 1,
+                             use_mxu: bool = False):
+    """Predictor/corrector direction via the saddle-point factorization
+    (MPMP.jl:1682-1824) — the three stages composed (the phase-split
+    driver can also run them as separate jits: at high k the one-graph
+    direction phase is the largest remaining XLA HLO and can exceed the
+    remote compile helper's memory budget)."""
+    rhs_x, rhs_y = compute_direction_zrhs(problem, P, p, d, R, X_inv, Y,
+                                          use_mxu)
+    dx, dy = compute_direction_solve(problem, rhs_x, rhs_y, decomp,
+                                     refine_steps)
+    dX, dY = compute_direction_dxdy(problem, P, R, X_inv, Y, dx, use_mxu)
     return dx, dX, dy, dY
 
 
@@ -799,6 +842,25 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
             cfg.refine_steps, cfg._matmul_mode,
         )
 
+    # sub-phase split of the direction (high-k compile-budget mode,
+    # SolverConfig.split_direction): three graphs each a fraction of the
+    # one-phase HLO — at k=14 scaled the one-graph direction phase
+    # OOM-killed the remote compile helper while every other phase fit
+    @jax.jit
+    def phase_dir_zrhs(problem, P, p, d, R, X_inv, Y):
+        return compute_direction_zrhs(
+            problem, P, p, d, R, X_inv, Y, cfg._matmul_mode)
+
+    @jax.jit
+    def phase_dir_solve(problem, rhs_x, rhs_y, decomp):
+        return compute_direction_solve(
+            problem, rhs_x, rhs_y, decomp, cfg.refine_steps)
+
+    @jax.jit
+    def phase_dir_dxdy(problem, P, R, X_inv, Y, dx):
+        return compute_direction_dxdy(
+            problem, P, R, X_inv, Y, dx, cfg._matmul_mode)
+
     @jax.jit
     def phase_corrector_R(X, Y, dX, dY, mu, pd_feas):
         # corrector factor (MPMP.jl:832-837)
@@ -868,6 +930,9 @@ def make_ipm_phases(problem: SDPProblem, cfg: SolverConfig):
         decomp=phase_decomp,
         residuals=phase_residuals,
         direction=phase_direction,
+        dir_zrhs=phase_dir_zrhs,
+        dir_solve=phase_dir_solve,
+        dir_dxdy=phase_dir_dxdy,
         corrector_R=phase_corrector_R,
         steplength=phase_steplength,
         update=phase_update,
@@ -1154,17 +1219,26 @@ def solverank1sdp(
         P, p, d = timed(
             "residuals", phases["residuals"], problem, state[0], state[2], state[1], decomp["A_Y"]
         )
-        dx, dX, dy, dY = timed(
-            "predictor_dir",
-            phases["direction"], problem, P, p, d, R, X_inv, state[3], decomp,
-        )
+
+        if cfg._split_direction(problem.b.k):
+            def run_direction(tag, Rx):
+                rx, ry = timed(f"{tag}_dir", phases["dir_zrhs"],
+                               problem, P, p, d, Rx, X_inv, state[3])
+                dx_, dy_ = timed(f"{tag}_dir", phases["dir_solve"],
+                                 problem, rx, ry, decomp)
+                dX_, dY_ = timed(f"{tag}_dir", phases["dir_dxdy"],
+                                 problem, P, Rx, X_inv, state[3], dx_)
+                return dx_, dX_, dy_, dY_
+        else:
+            def run_direction(tag, Rx):
+                return timed(f"{tag}_dir", phases["direction"],
+                             problem, P, p, d, Rx, X_inv, state[3], decomp)
+
+        dx, dX, dy, dY = run_direction("predictor", R)
         beta_c, R2 = timed(
             "corrector_R", phases["corrector_R"], state[2], state[3], dX, dY, mu, pd
         )
-        dx, dX, dy, dY = timed(
-            "corrector_dir",
-            phases["direction"], problem, P, p, d, R2, X_inv, state[3], decomp,
-        )
+        dx, dX, dy, dY = run_direction("corrector", R2)
         alpha_p, ok_p = timed("alpha", phases["steplength"], state[2], dX)
         alpha_d, ok_d = timed("alpha", phases["steplength"], state[3], dY)
         if not (bool(np.asarray(ok_p)) and bool(np.asarray(ok_d))):
