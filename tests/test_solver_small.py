@@ -281,3 +281,27 @@ def test_f32_overflow_exits_cleanly():
         "numerical_failure:Xinv", "numerical_failure:schur_factorization",
         "numerical_failure:steplength", "max_iterations",
     ), res.status
+
+
+def test_split_direction_matches_one_phase():
+    """SolverConfig.split_direction (the high-k compile-budget mode) is
+    the SAME computation as the one-phase direction — three composed
+    stages, identical ops and association — so the solve trajectory is
+    identical row-for-row."""
+    vs = [np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+    cons = [make_lp_constraint(vs, [[1.0], [1.0]], [2.0, 3.0])]
+    hist = []
+    for split in (False, True):
+        res = solverank1sdp(
+            cons, [1.0], get_block_info(cons), omega_p=100.0,
+            omega_d=100.0, maxiterations=200, verbose=False,
+            split_direction=split,
+        )
+        assert res.converged, res.status
+        hist.append(res.history)
+    assert len(hist[0]) == len(hist[1])
+    for r0, r1 in zip(hist[0], hist[1]):
+        for key in ("mu", "gap", "P_err", "p_err", "d_err", "alpha_p"):
+            assert r0[key] == r1[key] or abs(r0[key] - r1[key]) <= (
+                1e-12 * max(abs(r0[key]), 1e-300)
+            ), (key, r0[key], r1[key])
