@@ -1115,6 +1115,79 @@ def _matmul_batched_k_tiled(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     return out[:, :, :n, :m]
 
 
+# ---------------------------------------------------------------------------
+# Generic elementwise k-limb add/mul kernel: ONE custom-call per op site
+# instead of the unrolled cascade HLO — the remaining XLA graph bulk of
+# the high-k phases (residuals, updates, corrector, trace hadamard,
+# weighted-A scaling) once matmul/Schur/inverse/steplength are kernels.
+# Dispatch is gated by xfloat's CLRS_XF_ELEMWISE_PALLAS_MIN_K (default
+# off) so existing compiled graphs are unaffected until measured.
+# ---------------------------------------------------------------------------
+
+
+def _elemwise_kernel_k(a_ref, b_ref, out_ref, *, k: int, op: str,
+                       barrier: bool, scale_bits: int = 0):
+    xo = _XOps(barrier, k, scale_bits)
+    a = [a_ref[q, 0] for q in range(k)]
+    b = [b_ref[q, 0] for q in range(k)]
+    r = xo.add(a, b) if op == "add" else xo.mul(a, b)
+    for q in range(k):
+        out_ref[q, 0] = r[q]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("op", "interpret", "scale_bits"))
+def _elemwise_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
+                        op: str, interpret: bool = False,
+                        scale_bits: int = 0) -> jnp.ndarray:
+    """a_limbs, b_limbs: (k, N) flattened element vectors -> (k, N).
+    N is padded to (rows, 128) lane tiles; the grid walks row bands."""
+    k, N = a_limbs.shape
+    dtype = a_limbs.dtype
+    lanes = 128
+    rows = (N + lanes - 1) // lanes
+    # row band per grid step: whole thing when small, else bounded so the
+    # three (k, tb, 128) blocks stay ~a few MB of VMEM
+    tb = max(8, min(((rows + 7) // 8) * 8,
+                    (1_000_000 // (k * lanes)) // 8 * 8))
+    rp = ((rows + tb - 1) // tb) * tb
+    Np = rp * lanes
+    a2 = jnp.pad(a_limbs, ((0, 0), (0, Np - N))).reshape(k, 1, rp, lanes)
+    b2 = jnp.pad(b_limbs, ((0, 0), (0, Np - N))).reshape(k, 1, rp, lanes)
+    kern = functools.partial(_elemwise_kernel_k, k=k, op=op,
+                             barrier=interpret, scale_bits=scale_bits)
+    out = pl.pallas_call(
+        kern,
+        grid=(rp // tb,),
+        in_specs=[
+            pl.BlockSpec((k, 1, tb, lanes), lambda t: (_i0, _i0, t, _i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, tb, lanes), lambda t: (_i0, _i0, t, _i0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 1, tb, lanes),
+                               lambda t: (_i0, _i0, t, _i0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, 1, rp, lanes), dtype),
+        interpret=interpret,
+    )(a2, b2)
+    return out.reshape(k, Np)[:, :N]
+
+
+def xf_elemwise_pallas(op: str, al, bl, k: int,
+                       interpret: bool = False) -> "XF":
+    """Elementwise k-limb add/mul of equal-shape limb LISTS as one Pallas
+    custom-call; returns XF of the common shape.  Caller broadcasts."""
+    from clrs_tpu.ops.xfloat import scale_bits as _sb
+
+    shape = al[0].shape
+    a2 = jnp.stack([x.reshape(-1) for x in al])
+    b2 = jnp.stack([x.reshape(-1) for x in bl])
+    out = _elemwise_batched_k(a2, b2, op, interpret=interpret,
+                              scale_bits=_sb())
+    return XF(out.reshape((k,) + shape))
+
+
 # whole-output VMEM budget for the untiled kernels: beyond this many
 # f32 elements in (k x n x m) the untiled accumulator risks VMEM
 # pressure (v5e ~16 MB per core), so xf_matmul_pallas dispatches tiles

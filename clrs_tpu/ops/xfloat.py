@@ -666,6 +666,40 @@ def _lift2(a, b):
     return a, b
 
 
+# Elementwise add/mul through ONE Pallas custom-call per op site on TPU
+# at k >= this threshold (0/unset = off): the unrolled cascade HLO of
+# elementwise sites is the remaining compile-size driver of the high-k
+# phase graphs after matmul/Schur/inverse/steplength became kernels.
+# Off by default until measured (flip with
+# CLRS_XF_ELEMWISE_PALLAS_MIN_K=10).
+_ELEMWISE_PALLAS_MIN_K = int(
+    _os.environ.get("CLRS_XF_ELEMWISE_PALLAS_MIN_K", "0"))
+
+
+def _elemwise_pallas_ok(k: int, shape, dtype) -> bool:
+    if not _ELEMWISE_PALLAS_MIN_K or k < _ELEMWISE_PALLAS_MIN_K:
+        return False
+    if dtype != jnp.float32:
+        return False
+    n = 1
+    for d in shape:
+        n *= int(d)
+    if n < 64:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _elemwise_pallas(op: str, al, bl, k: int, shape, dtype) -> "XF":
+    from clrs_tpu.ops.pallas_xf import xf_elemwise_pallas
+
+    zero = jnp.zeros(shape, dtype)
+    al = list(al) + [zero] * (k - len(al))
+    bl = list(bl) + [zero] * (k - len(bl))
+    return xf_elemwise_pallas(op, al, bl, k)
+
+
 def xf_add(a: XF, b: XF) -> XF:
     a, b = _lift2(a, b)
     k = max(a.k, b.k)
@@ -674,6 +708,8 @@ def xf_add(a: XF, b: XF) -> XF:
     bl = [jnp.broadcast_to(x, shape) for x in b.limb_list]
     if k == 1:
         return XF.from_limb_list([al[0] + bl[0]])
+    if _elemwise_pallas_ok(k, shape, al[0].dtype):
+        return _elemwise_pallas("add", al, bl, k, shape, al[0].dtype)
     if _SCALE_BITS:
         zero = jnp.zeros(shape, al[0].dtype)
         al = al + [zero] * (k - len(al))
@@ -924,6 +960,8 @@ def xf_mul(a: XF, b: XF) -> XF:
     bl = [jnp.broadcast_to(x, shape) for x in b.limb_list]
     if k == 1:
         return XF.from_limb_list([al[0] * bl[0]])
+    if _elemwise_pallas_ok(k, shape, al[0].dtype):
+        return _elemwise_pallas("mul", al, bl, k, shape, al[0].dtype)
     if _SCALE_BITS:
         return _mul_sc_normalized(al, bl, k)
     if a.k == 2 and b.k == 2:

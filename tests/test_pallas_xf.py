@@ -345,6 +345,49 @@ def test_schur_pairs_pallas_vs_xla_path(k, m, K, rmax):
     assert np.max(np.abs(ref_val - got_val)) <= tol
 
 
+@pytest.mark.parametrize("k,scaled", [(6, False), (6, True)])
+def test_elemwise_pallas_matches_xla(k, scaled):
+    """The generic elementwise add/mul kernel (xf_elemwise_pallas — the
+    one-custom-call-per-op-site dispatch for high-k graphs) against the
+    XLA cascade path on the same inputs."""
+    import jax.numpy as jnp
+
+    from clrs_tpu.ops.pallas_xf import xf_elemwise_pallas
+    from clrs_tpu.ops.xfloat import XF, scaled_mode, xf_add, xf_mul
+
+    rng = np.random.default_rng(k + scaled)
+    dtype = np.float32 if scaled else np.float64
+    step = 20 if scaled else 40
+    shape = (5, 37)  # non-tile-aligned on purpose (exercises padding)
+    al = [jnp.asarray(
+        rng.standard_normal(shape) * 2.0 ** (-step * q), dtype)
+        for q in range(k)]
+    bl = [jnp.asarray(
+        rng.standard_normal(shape) * 2.0 ** (-step * q), dtype)
+        for q in range(k)]
+    ctx = scaled_mode(24 if scaled else 0)
+    with ctx:
+        a = XF(jnp.stack(al))
+        b = XF(jnp.stack(bl))
+        ref_add = np.asarray(xf_add(a, b).limbs, np.float64)
+        ref_mul = np.asarray(xf_mul(a, b).limbs, np.float64)
+        got_add = np.asarray(
+            xf_elemwise_pallas("add", al, bl, k, interpret=True).limbs,
+            np.float64)
+        got_mul = np.asarray(
+            xf_elemwise_pallas("mul", al, bl, k, interpret=True).limbs,
+            np.float64)
+    # same cascades; interpret-mode barriers may differ from the XLA
+    # path's fused graphs only in low-limb association -> value-compare
+    # to well below the k-limb precision
+    for ref, got in ((ref_add, got_add), (ref_mul, got_mul)):
+        rv = ref.sum(axis=0)
+        gv = got.sum(axis=0)
+        scale = np.max(np.abs(rv)) or 1.0
+        tol = scale * 2.0 ** (-step * (k - 1))
+        assert np.max(np.abs(rv - gv)) <= tol
+
+
 @pytest.mark.parametrize("k", [6, 7])
 def test_matmul_loop_kc_matches_unrolled(k):
     """The fori_loop kc accumulation (the high-k scoped-VMEM bound,
