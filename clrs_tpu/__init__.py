@@ -55,14 +55,10 @@ _jax.config.update("jax_enable_x64", True)
 if _os.environ.get("CLRS_FORCE_CPU", "") == "1":
     _jax.config.update("jax_platforms", "cpu")
 
-# Tracing the high-k kernels (k ~ 14 scaled-f32 = the reference's 512-bit
-# regime) nests JAX trace frames past CPython's default 1000-frame limit
-# (measured: the k=14 Pallas SPD-inverse trace RecursionErrors at the
-# default, traces fine raised).  Python>=3.11 keeps cheap heap frames for
-# Python-to-Python calls, so a high limit is safe.
-import sys as _sys
-
-_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 100_000))
+# NOTE: the high-k trace paths need a recursion limit far above CPython's
+# default; that raise is SCOPED (utils/limits.raised_recursion_limit,
+# applied inside the solver drivers and Pallas dispatchers), not a global
+# import-time side effect (ADVICE r4).
 
 # The solver's jitted iteration graphs are large; cache compiled executables
 # across processes (tests, benchmarks, repeated solves).

@@ -214,7 +214,12 @@ def solve_on_device(
     status_code = RUNNING
     while True:
         itn_stop = jnp.int32(min(int(carry[2]) + chunk, cfg.maxiterations))
-        carry = jax.block_until_ready(run_chunk(problem, carry, itn_stop))
+        # first chunk call traces the scan body; high-k traces need the
+        # scoped recursion-limit raise (utils/limits)
+        from clrs_tpu.utils.limits import raised_recursion_limit
+
+        with raised_recursion_limit():
+            carry = jax.block_until_ready(run_chunk(problem, carry, itn_stop))
         itn = int(carry[2])
         status_code = int(carry[3])
         diag = {kk: np.asarray(v) for kk, v in carry[7].items()}

@@ -70,6 +70,7 @@ from clrs_tpu.ops.xfloat import (
     xf_sum,
     xf_where,
 )
+from clrs_tpu.utils.limits import raised_recursion_limit
 
 
 @dataclass(frozen=True)
@@ -1146,7 +1147,10 @@ def solverank1sdp(
 
     def timed(name, fn, *args):
         t = time.time()
-        with jax.profiler.TraceAnnotation(f"ipm/{name}"):
+        # first call of each jitted phase traces it; high-k cascade traces
+        # exceed CPython's default frame limit (utils/limits)
+        with jax.profiler.TraceAnnotation(f"ipm/{name}"), \
+                raised_recursion_limit():
             out = fn(*args)
             jax.block_until_ready(out)
         dt = time.time() - t

@@ -37,10 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clrs_tpu.ops.pallas_dd import _Ops
 from clrs_tpu.ops.xfloat import XF
+from clrs_tpu.utils.limits import raised_recursion_limit
 
 # index-map components must be int32: python-int 0 becomes i64 under
 # jax_enable_x64 and Mosaic cannot legalize an i64-returning index map
 _i0 = np.int32(0)
+
+
+def _deep_trace(fn):
+    """High-k kernel traces exceed CPython's default frame limit (the k=14
+    SPD-inverse trace RecursionErrors at 1000); raise it scoped to the
+    dispatch call and restore after (ADVICE r4)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with raised_recursion_limit():
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class _XOps:
@@ -453,7 +467,11 @@ def _matmul_kernel_k(a5_ref, b_ref, out_ref, acc, *, k: int, kc: int,
         def body(r, _):
             c = [acc[i] for i in range(k)]
             a_l = [a5_ref[i, 0, r] for i in range(k)]  # leading-axis dyn idx
-            sel = jnp.where(rows == r, one, zero)  # exact one-hot row pick
+            # exact one-hot row pick — caveat: off-row elements contribute
+            # +0.0, and 0.0 + (-0.0) = +0.0 in round-to-nearest, so a
+            # -0.0 in B is rehydrated as +0.0: value-equal to the unrolled
+            # path but not sign-of-zero bit-identical
+            sel = jnp.where(rows == r, one, zero)
             b_l = [
                 jnp.sum(b_ref[i, 0] * sel, axis=0, keepdims=True)
                 for i in range(k)
@@ -523,6 +541,7 @@ def _matmul_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     )(a5, b_limbs)
 
 
+@_deep_trace
 def xf_matmul_pallas(a: XF, b: XF, interpret: bool = False) -> XF:
     """Fused k-limb matmul: (..., n, K) x (..., K, m) -> (..., n, m).
 
@@ -670,6 +689,7 @@ def _schur_pairs_batched_tiled(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     return out[:, :, :T, :]
 
 
+@_deep_trace
 def xf_schur_pairs_pallas(A4: XF, B4: XF, HH: XF,
                           interpret: bool = False) -> XF:
     """Fused Schur elementwise core: A4, B4 (P2, 4, T, T), HH (T, T) ->
@@ -686,9 +706,15 @@ def xf_schur_pairs_pallas(A4: XF, B4: XF, HH: XF,
     assert A4.k == B4.k == HH.k and A4.k >= 2
     k = A4.k
     T = A4.shape[-1]
-    if 10 * k * T * T > 4_000_000:
-        # largest 8-multiple row band keeping the program under ~2M f32
-        tb = max(8, (2_000_000 // (10 * k * T)) // 8 * 8)
+    # per-program budget: operand blocks are 10·k·T² f32, and the mul
+    # cascades keep O(k²) live (T, T) tile temporaries — both must fit
+    # v5e's 16 MB scoped VMEM with headroom (untiled at the old 16 MB
+    # operand cutoff could fail Mosaic on hardware while interpret-mode
+    # tests pass; the tiled path is bit-identical anyway)
+    per_row = max(10 * k, k * k) * T
+    if per_row * T > 1_500_000:
+        # largest 8-multiple row band keeping the program under ~1.5M f32
+        tb = max(8, (1_500_000 // per_row) // 8 * 8)
         return XF(_schur_pairs_batched_tiled(
             A4.limbs, B4.limbs, HH.limbs, interpret=interpret,
             scale_bits=_sb(), tb=tb))
@@ -802,6 +828,7 @@ def _spd_inverse_kernel_k(a_ref, out_ref, okf_ref, l_ref, w_ref, *,
         out_ref[0, i, :, :] = inv[i]
 
 
+@_deep_trace
 def xf_spd_inverse_pallas_k(limbs: jnp.ndarray, interpret: bool = False,
                             scale_bits=None):
     """Batched k-limb SPD inverse: limbs (B, k, n, n) -> (inv (B, k, n, n),
@@ -842,6 +869,7 @@ def xf_spd_inverse_pallas_k(limbs: jnp.ndarray, interpret: bool = False,
     return inv, jnp.all(okf > 0.5, axis=(1, 2))
 
 
+@_deep_trace
 def xf_spd_inverse_pallas_k_batched(x_limbs: jnp.ndarray,
                                     interpret: bool = False):
     """Adapter for the solver's stacked-XF layout: limbs (k, B, n, n)."""
@@ -971,6 +999,7 @@ def _steplen_sandwich_kernel_k(m_ref, dm_ref, out_ref, okf_ref, l_ref, w_ref,
     out_ref[0, :, :] = w_ref[0] + w_ref[1] * xo.down
 
 
+@_deep_trace
 def xf_steplen_sandwich_pallas_k(m_limbs: jnp.ndarray, dm_limbs: jnp.ndarray,
                                  interpret: bool = False):
     """Batched fused step-length sandwich: (B, k, n, n) x2 ->
@@ -1147,9 +1176,13 @@ def _elemwise_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     lanes = 128
     rows = (N + lanes - 1) // lanes
     # row band per grid step: whole thing when small, else bounded so the
-    # three (k, tb, 128) blocks stay ~a few MB of VMEM
+    # three (k, tb, 128) operand blocks PLUS the cascade's live tile
+    # temporaries stay inside scoped VMEM.  The mul cascade keeps O(k²)
+    # live (tb, 128) temporaries (the add cascade O(k)), so at the high k
+    # this kernel targets the band must shrink with k², not k.
+    kf = max(3 * k, k * k) if op == "mul" else 4 * k
     tb = max(8, min(((rows + 7) // 8) * 8,
-                    (1_000_000 // (k * lanes)) // 8 * 8))
+                    (1_000_000 // (kf * lanes)) // 8 * 8))
     rp = ((rows + tb - 1) // tb) * tb
     Np = rp * lanes
     a2 = jnp.pad(a_limbs, ((0, 0), (0, Np - N))).reshape(k, 1, rp, lanes)
@@ -1174,6 +1207,7 @@ def _elemwise_batched_k(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
     return out.reshape(k, Np)[:, :N]
 
 
+@_deep_trace
 def xf_elemwise_pallas(op: str, al, bl, k: int,
                        interpret: bool = False) -> "XF":
     """Elementwise k-limb add/mul of equal-shape limb LISTS as one Pallas
@@ -1194,6 +1228,7 @@ def xf_elemwise_pallas(op: str, al, bl, k: int,
 _TILE_THRESHOLD = 2_000_000
 
 
+@_deep_trace
 def xf_matmul_pallas_tiled(a: XF, b: XF, interpret: bool = False,
                            bn: int = 256, bm: int = 256) -> XF:
     """Tiled fused k-limb matmul (see _matmul_batched_k_tiled)."""

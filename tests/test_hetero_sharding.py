@@ -188,10 +188,23 @@ def test_hetero_k3_full_contract():
     # (a) 1-vs-8 at k=3 over a few steps: y agrees to the k=3 ulp
     s1, d1 = run_steps(problem, 1, n_steps=3)
     s8, d8 = run_steps(problem, min(8, len(jax.devices())), n_steps=3)
-    y1 = np.asarray(s1[1].limbs, np.float64).sum(axis=0)
-    y8 = np.asarray(s8[1].limbs, np.float64).sum(axis=0)
-    scale = np.max(np.abs(y1)) or 1.0
-    np.testing.assert_allclose(y1, y8, rtol=0, atol=1e-44 * scale)
+    # evaluate the limb expansions at full precision before comparing: a
+    # plain f64 limb sum rounds away everything below ~1e-16·scale, so a
+    # 1e-44 atol on it would silently degrade to bit-equality of the
+    # rounded sums (ADVICE r4)
+    import mpmath
+
+    l1 = np.asarray(s1[1].limbs, np.float64).reshape(3, -1)
+    l8 = np.asarray(s8[1].limbs, np.float64).reshape(3, -1)
+    with mpmath.workprec(400):
+        v1 = [mpmath.fsum(mpmath.mpf(float(x)) for x in l1[:, i])
+              for i in range(l1.shape[1])]
+        v8 = [mpmath.fsum(mpmath.mpf(float(x)) for x in l8[:, i])
+              for i in range(l8.shape[1])]
+        scale = max(abs(v) for v in v1) or mpmath.mpf(1)
+        tol = mpmath.mpf("1e-44") * scale
+        for a, b in zip(v1, v8):
+            assert abs(a - b) <= tol, (a, b, tol)
     for key in ("mu", "p_obj", "d_obj", "alpha_p", "alpha_d"):
         np.testing.assert_allclose(
             np.asarray(d1[key]), np.asarray(d8[key]), rtol=1e-12, atol=1e-20)
