@@ -18,7 +18,8 @@ failure.
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +29,21 @@ from clrs_tpu.ops.xfloat import (
     xf_abs,
     xf_add,
     xf_div,
+    xf_matmul,
     xf_mul,
     xf_sqrt,
     xf_sum,
     xf_where,
 )
+
+# Above this order, xf_cholesky dispatches to the blocked panel
+# formulation (xf_cholesky_panel): the O(n^2)-per-column trailing update
+# runs as matmuls instead of the sequential fori_loop's matvecs — 3.9x
+# measured at n=512 dd on 2 CPU cores (logs/panel_chol.log), and the
+# formulation GSPMD/shard_map can actually partition (VERDICT r4 item 5).
+# 0 disables the dispatch.
+_PANEL_MIN_N = int(os.environ.get("CLRS_PANEL_CHOL_MIN_N", "256"))
+_PANEL_DEFAULT = int(os.environ.get("CLRS_PANEL_CHOL_PANEL", "32"))
 
 
 def _dyn_row(a: XF, i) -> XF:
@@ -66,7 +77,21 @@ def xf_cholesky(a: XF) -> Tuple[XF, jnp.ndarray]:
     ok is False if any pivot is <= 0 (matrix not numerically SPD at this
     precision) — the caller escalates per the reference's ladder
     (MPMP.jl:774-786).
+
+    Large blocks (n >= CLRS_PANEL_CHOL_MIN_N, default 256) dispatch to
+    the blocked panel formulation (xf_cholesky_panel) — same guarded
+    pivots and ok semantics, matmul-shaped trailing updates; value-level
+    equal to the sequential loop at the expansion ulp (different but
+    exact-EFT association).  Small blocks keep the sequential fori_loop
+    (O(1) HLO, the right shape for the many-small-block regime).
     """
+    if _PANEL_MIN_N and a.ndim == 2 and a.shape[0] >= _PANEL_MIN_N:
+        return xf_cholesky_panel(a, panel=_PANEL_DEFAULT)
+    return xf_cholesky_seq(a)
+
+
+def xf_cholesky_seq(a: XF) -> Tuple[XF, jnp.ndarray]:
+    """Sequential (one column per fori_loop step) Cholesky kernel."""
     n = a.shape[0]
     k = a.k
     dtype = a.dtype
@@ -96,8 +121,102 @@ def xf_cholesky(a: XF) -> Tuple[XF, jnp.ndarray]:
     return L, ok
 
 
+def xf_cholesky_panel(a: XF, panel: int = 32, axis: Optional[str] = None,
+                      n_dev: int = 1) -> Tuple[XF, jnp.ndarray]:
+    """Blocked right-looking Cholesky of a symmetric SPD XF matrix.
+
+    Per panel: (1) factor the (panel x panel) diagonal block with the
+    sequential kernel (cheap, redundant on every device); (2) one
+    triangular solve W = L_d^-1 A[p0:p0+bp, :] (the full row slab — the
+    columns past the panel are the L21^T block by symmetry); (3) the
+    O(n^2 * bp) trailing update A -= W_f^T W_f with W_f = W masked to
+    trailing columns — THE dominant flops, computed as disjoint row
+    bands per device inside shard_map (axis=<mesh axis>, n_dev=mesh
+    size) and re-replicated with one tiled all_gather per panel.
+
+    Per-row independence of the band products makes the result BITWISE
+    identical at any device count (each output row's contraction tree
+    never crosses rows) — asserted in tests.  n that does not divide
+    `panel` is padded with an exact identity tail (the tail's trailing
+    updates are zero, so the leading (n, n) factor is unchanged); when
+    sharding (n_dev > 1) the padded order must divide n_dev.
+
+    Reference analogue: the intra-kernel column chunking of
+    compute_S_integrated / the S_j LU over shared-memory threads
+    (MPMP.jl:1230-1243, 1433-1442), which cannot leave one process.
+    """
+    n0 = a.shape[0]
+    k, dtype = a.k, a.dtype
+    n = -(-n0 // panel) * panel
+    if n != n0:
+        pad = n - n0
+        lim = jnp.pad(a.limbs, ((0, 0), (0, pad), (0, pad)))
+        eye_tail = XF.eye(pad, k=k, dtype=dtype)
+        lim = lim.at[:, n0:, n0:].set(eye_tail.limbs)
+        a = XF(lim)
+    assert n % max(n_dev, 1) == 0, (n, n_dev)
+    cols = jnp.arange(n)
+    A = a
+    L = XF.zeros((n, n), k=k, dtype=dtype)
+    ok = jnp.bool_(True)
+    for p0 in range(0, n, panel):
+        Dblk = A[p0:p0 + panel, p0:p0 + panel]
+        Ld, okd = xf_cholesky_seq(Dblk)
+        ok = ok & okd
+        Arow = A[p0:p0 + panel, :]  # (bp, n); A stays symmetric throughout
+        W = xf_solve_tril(Ld, Arow)  # (bp, n)
+        # column block of L: rows < p0 are stale left columns -> mask
+        Lcol = W.T  # (n, bp); rows [p0, p0+bp) = Ld, rows >= p0+bp = L21
+        Lcol = xf_where(
+            (cols >= p0)[:, None],
+            Lcol,
+            XF.zeros((n, panel), k=k, dtype=dtype),
+        )
+        L = XF(
+            jax.lax.dynamic_update_slice_in_dim(
+                L.limbs, Lcol.limbs, p0, axis=2
+            )
+        )
+        # trailing update A -= W_f^T W_f (only the trailing block moves)
+        Wf = xf_where(
+            (cols >= p0 + panel)[None, :],
+            W,
+            XF.zeros((panel, n), k=k, dtype=dtype),
+        )
+        WfT = Wf.T  # (n, bp)
+        if axis is not None and n_dev > 1:
+            rows_per = n // n_dev
+            idx = jax.lax.axis_index(axis)
+            band = XF(
+                jax.lax.dynamic_slice_in_dim(
+                    WfT.limbs, idx * rows_per, rows_per, axis=1
+                )
+            )
+            Uband = xf_matmul(band, Wf)  # (rows_per, n)
+            U = XF(
+                jax.lax.all_gather(Uband.limbs, axis, axis=1, tiled=True)
+            )
+        else:
+            U = xf_matmul(WfT, Wf)
+        A = xf_add(A, XF(-U.limbs))
+    if n != n0:
+        L = XF(L.limbs[:, :n0, :n0])
+    return L, ok
+
+
 def xf_solve_tril(l: XF, b: XF, unit_diag: bool = False) -> XF:
-    """Solve L x = b with L lower triangular; b is (n, m)."""
+    """Solve L x = b with L lower triangular; b is (n, m).
+
+    Large systems dispatch to the blocked panel formulation (matmul-
+    shaped updates, same threshold as xf_cholesky); small ones keep the
+    sequential fori_loop."""
+    if _PANEL_MIN_N and l.ndim == 2 and l.shape[0] >= _PANEL_MIN_N:
+        return xf_solve_tril_panel(l, b, unit_diag=unit_diag,
+                                   panel=_PANEL_DEFAULT)
+    return xf_solve_tril_seq(l, b, unit_diag=unit_diag)
+
+
+def xf_solve_tril_seq(l: XF, b: XF, unit_diag: bool = False) -> XF:
     n = l.shape[0]
     k = l.k
     dtype = l.dtype
@@ -119,8 +238,44 @@ def xf_solve_tril(l: XF, b: XF, unit_diag: bool = False) -> XF:
     return jax.lax.fori_loop(0, n, body, x0)
 
 
+def xf_solve_tril_panel(l: XF, b: XF, unit_diag: bool = False,
+                        panel: int = 32) -> XF:
+    """Blocked forward substitution: per panel, one (bp, p0) x (p0, m)
+    matmul folds in the already-solved rows, then the (bp, bp) diagonal
+    block solves sequentially.  The matmuls are the O(n^2 m) flops and
+    are XLA/GSPMD-partitionable (the fori_loop form is not)."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = XF(b.limbs[:, :, None])
+    n = l.shape[0]
+    m = b.shape[1]
+    k, dtype = l.k, l.dtype
+    x = XF.zeros((n, m), k=k, dtype=dtype)
+    for p0 in range(0, n, panel):
+        bp = min(panel, n - p0)
+        rhs = b[p0:p0 + bp, :]
+        if p0:
+            acc = xf_matmul(l[p0:p0 + bp, :p0], x[:p0, :])
+            rhs = xf_add(rhs, XF(-acc.limbs))
+        xp = xf_solve_tril_seq(l[p0:p0 + bp, p0:p0 + bp], rhs,
+                               unit_diag=unit_diag)
+        x = XF(jax.lax.dynamic_update_slice_in_dim(
+            x.limbs, xp.limbs, p0, axis=1))
+    return XF(jnp.squeeze(x.limbs, axis=2)) if squeeze else x
+
+
 def xf_solve_triu(u: XF, b: XF, unit_diag: bool = False) -> XF:
-    """Solve U x = b with U upper triangular; b is (n, m)."""
+    """Solve U x = b with U upper triangular; b is (n, m).
+
+    Large systems dispatch to the blocked panel formulation, like
+    xf_solve_tril."""
+    if _PANEL_MIN_N and u.ndim == 2 and u.shape[0] >= _PANEL_MIN_N:
+        return xf_solve_triu_panel(u, b, unit_diag=unit_diag,
+                                   panel=_PANEL_DEFAULT)
+    return xf_solve_triu_seq(u, b, unit_diag=unit_diag)
+
+
+def xf_solve_triu_seq(u: XF, b: XF, unit_diag: bool = False) -> XF:
     n = u.shape[0]
     k = u.k
     dtype = u.dtype
@@ -140,6 +295,31 @@ def xf_solve_triu(u: XF, b: XF, unit_diag: bool = False) -> XF:
         return _set_row(x, i, num)
 
     return jax.lax.fori_loop(0, n, body, x0)
+
+
+def xf_solve_triu_panel(u: XF, b: XF, unit_diag: bool = False,
+                        panel: int = 32) -> XF:
+    """Blocked back substitution (bottom-up panels; see
+    xf_solve_tril_panel)."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = XF(b.limbs[:, :, None])
+    n = u.shape[0]
+    m = b.shape[1]
+    k, dtype = u.k, u.dtype
+    x = XF.zeros((n, m), k=k, dtype=dtype)
+    starts = list(range(0, n, panel))
+    for p0 in reversed(starts):
+        bp = min(panel, n - p0)
+        p1 = p0 + bp
+        rhs = b[p0:p1, :]
+        if p1 < n:
+            acc = xf_matmul(u[p0:p1, p1:], x[p1:, :])
+            rhs = xf_add(rhs, XF(-acc.limbs))
+        xp = xf_solve_triu_seq(u[p0:p1, p0:p1], rhs, unit_diag=unit_diag)
+        x = XF(jax.lax.dynamic_update_slice_in_dim(
+            x.limbs, xp.limbs, p0, axis=1))
+    return XF(jnp.squeeze(x.limbs, axis=2)) if squeeze else x
 
 
 def xf_lu(a: XF) -> Tuple[XF, jnp.ndarray, jnp.ndarray]:

@@ -182,86 +182,9 @@ def solve_intra_sharded(
 
 # ---------------------------------------------------------------------------
 # Panel-parallel blocked Cholesky (SURVEY.md §5.7's "blocked right-looking
-# factorization with panel broadcasts": the single-huge-cluster O(dim^3)
-# factorization, which GSPMD cannot partition out of the sequential
-# fori_loop in ops/linalg.xf_cholesky, split over the chip axis)
+# factorization with panel broadcasts") now lives in ops/linalg.py, where
+# ops/linalg.xf_cholesky dispatches to it for large blocks (VERDICT r4
+# item 5) — re-exported here for the mesh-facing API and existing callers.
 # ---------------------------------------------------------------------------
 
-
-def xf_cholesky_panel(a: XF, panel: int = 32, axis: Optional[str] = None,
-                      n_dev: int = 1):
-    """Blocked right-looking Cholesky of a symmetric SPD XF matrix.
-
-    Per panel: (1) factor the (panel x panel) diagonal block with the
-    sequential kernel (cheap, redundant on every device); (2) one
-    triangular solve W = L_d^-1 A[p0:p0+bp, :] (the full row slab — the
-    columns past the panel are the L21^T block by symmetry); (3) the
-    O(n^2 * bp) trailing update A -= W_f^T W_f with W_f = W masked to
-    trailing columns — THE dominant flops, computed as disjoint row
-    bands per device inside shard_map (axis=<mesh axis>, n_dev=mesh
-    size) and re-replicated with one tiled all_gather per panel.
-
-    Per-row independence of the band products makes the result BITWISE
-    identical at any device count (each output row's contraction tree
-    never crosses rows) — asserted in tests.  n must be divisible by
-    panel and n_dev (pad at the caller; padding an SPD matrix with an
-    identity tail is exact).
-
-    Reference analogue: the intra-kernel column chunking of
-    compute_S_integrated / the S_j LU over shared-memory threads
-    (MPMP.jl:1230-1243, 1433-1442), which cannot leave one process.
-    """
-    import jax.numpy as jnp
-
-    from clrs_tpu.ops.linalg import xf_cholesky, xf_solve_tril
-    from clrs_tpu.ops.xfloat import xf_add, xf_matmul, xf_where
-
-    n = a.shape[0]
-    k, dtype = a.k, a.dtype
-    assert n % panel == 0, (n, panel)
-    assert n % max(n_dev, 1) == 0, (n, n_dev)
-    cols = jnp.arange(n)
-    A = a
-    L = XF.zeros((n, n), k=k, dtype=dtype)
-    ok = jnp.bool_(True)
-    for p0 in range(0, n, panel):
-        Dblk = A[p0:p0 + panel, p0:p0 + panel]
-        Ld, okd = xf_cholesky(Dblk)
-        ok = ok & okd
-        Arow = A[p0:p0 + panel, :]  # (bp, n); A stays symmetric throughout
-        W = xf_solve_tril(Ld, Arow)  # (bp, n)
-        # column block of L: rows < p0 are stale left columns -> mask
-        Lcol = W.T  # (n, bp); rows [p0, p0+bp) = Ld, rows >= p0+bp = L21
-        Lcol = xf_where(
-            (cols >= p0)[:, None],
-            Lcol,
-            XF.zeros((n, panel), k=k, dtype=dtype),
-        )
-        L = XF(
-            jax.lax.dynamic_update_slice_in_dim(
-                L.limbs, Lcol.limbs, p0, axis=2
-            )
-        )
-        # trailing update A -= W_f^T W_f (only the trailing block moves)
-        Wf = xf_where(
-            (cols >= p0 + panel)[None, :],
-            W,
-            XF.zeros((panel, n), k=k, dtype=dtype),
-        )
-        WfT = Wf.T  # (n, bp)
-        if axis is not None and n_dev > 1:
-            rows_per = n // n_dev
-            idx = jax.lax.axis_index(axis)
-            band = XF(
-                jax.lax.dynamic_slice_in_dim(
-                    WfT.limbs, idx * rows_per, rows_per, axis=1
-                )
-            )
-            Uband = xf_matmul(band, Wf)  # (rows_per, n)
-            U = XF(
-                jax.lax.all_gather(Uband.limbs, axis, axis=1, tiled=True)
-            )
-        else:
-            U = xf_matmul(WfT, Wf)
-        A = xf_add(A, XF(-U.limbs))
-    return L, ok
+from clrs_tpu.ops.linalg import xf_cholesky_panel  # noqa: E402, F401

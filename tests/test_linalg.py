@@ -221,3 +221,62 @@ def test_xf_min_eig_sym_f32_limbs_uses_jacobi():
     )[0]
     assert float(lam) <= ref + 1e-4 * max(1.0, abs(ref))
     assert float(lam) >= ref - 1e-3 * max(1.0, abs(ref))
+
+
+def test_panel_trisolves_match_sequential(monkeypatch):
+    """Blocked panel forward/back substitution (the large-block dispatch
+    of xf_solve_tril/triu) matches the sequential loops at the dd ulp,
+    including the (n,) RHS form and unit_diag."""
+    import clrs_tpu.ops.linalg as LA
+
+    rng = np.random.default_rng(7)
+    n, m = 40, 5
+    L = np.tril(rng.standard_normal((n, n))) + 4 * np.eye(n)
+    B = rng.standard_normal((n, m))
+    Lx = XF.from_float(jnp.asarray(L))
+    Bx = XF.from_float(jnp.asarray(B))
+    for unit in (False, True):
+        xs = LA.xf_solve_tril_seq(Lx, Bx, unit_diag=unit)
+        xp = LA.xf_solve_tril_panel(Lx, Bx, unit_diag=unit, panel=16)
+        a, b = np.asarray(xs.limbs), np.asarray(xp.limbs)
+        scale = np.max(np.abs(a[0])) or 1.0
+        assert np.max(np.abs((a[0] + a[1]) - (b[0] + b[1]))) < 1e-27 * scale
+    U = np.triu(rng.standard_normal((n, n))) + 4 * np.eye(n)
+    Ux = XF.from_float(jnp.asarray(U))
+    xs = LA.xf_solve_triu_seq(Ux, Bx)
+    xp = LA.xf_solve_triu_panel(Ux, Bx, panel=16)
+    a, b = np.asarray(xs.limbs), np.asarray(xp.limbs)
+    scale = np.max(np.abs(a[0])) or 1.0
+    assert np.max(np.abs((a[0] + a[1]) - (b[0] + b[1]))) < 1e-27 * scale
+    # (n,) RHS keeps its shape through the panel path (the sequential
+    # kernel only takes (n, m))
+    v = XF.from_float(jnp.asarray(rng.standard_normal(n)))
+    x1 = XF(LA.xf_solve_tril_seq(Lx, XF(v.limbs[:, :, None])).limbs[:, :, 0])
+    x2 = LA.xf_solve_tril_panel(Lx, v, panel=16)
+    assert x2.shape == (n,)
+    a, b = np.asarray(x1.limbs), np.asarray(x2.limbs)
+    scale = np.max(np.abs(a[0])) or 1.0
+    assert np.max(np.abs((a[0] + a[1]) - (b[0] + b[1]))) < 1e-27 * scale
+
+
+def test_spd_inverse_panel_dispatch(monkeypatch):
+    """xf_spd_inverse through the lowered panel threshold reconstructs
+    the identity as well as the sequential path (the full blocked
+    chol+trisolve pipeline the solver's huge-block regime now uses)."""
+    import clrs_tpu.ops.linalg as LA
+
+    rng = np.random.default_rng(11)
+    n = 48
+    a = rand_spd_mp(rng, n, cond_pow=6)
+    ax = xf_from_mp(a, k=2, dtype=np.float64)
+    monkeypatch.setattr(LA, "_PANEL_MIN_N", 32)
+    monkeypatch.setattr(LA, "_PANEL_DEFAULT", 16)
+    inv_p, okp = LA.xf_spd_inverse(ax)
+    monkeypatch.setattr(LA, "_PANEL_MIN_N", 10**9)
+    inv_s, oks = LA.xf_spd_inverse(ax)
+    assert bool(okp) and bool(oks)
+    rp = mp_err(xf_to_mp(xf_matmul(ax, inv_p).reshape((-1,))),
+                np.eye(n).ravel())
+    rs = mp_err(xf_to_mp(xf_matmul(ax, inv_s).reshape((-1,))),
+                np.eye(n).ravel())
+    assert rp < 1e-22 and rs < 1e-22, (float(rp), float(rs))
