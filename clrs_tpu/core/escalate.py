@@ -100,11 +100,22 @@ def _norm_rung(rung):
 def default_device_ladder() -> Sequence:
     """Platform-dependent default: double-k on f32 backends (TPU), then
     the scaled-f32 contract rung (k=14 ~ 336 bits, the regime where the
-    full reference contract lands — BASELINE.md round-4)."""
+    full reference contract lands — BASELINE.md round-4).
+
+    CLRS_ESCALATE_512=1 appends a (22, 24) rung: 22 scaled f32 limbs =
+    528 bits, true setprecision(512) parity with the reference's own
+    default regime (/root/reference/MPMP.jl:17) rather than the 336-bit
+    proxy.  Flag-gated: the k=22 compile budget is only worth paying
+    when the k=14 rung's ~336 bits demonstrably fall short."""
+    import os
+
     import jax
 
     if jax.default_backend() == "tpu":
-        return (2, 4, 6, (10, 24), (14, 24))
+        ladder = (2, 4, 6, (10, 24), (14, 24))
+        if os.environ.get("CLRS_ESCALATE_512", "") == "1":
+            ladder = ladder + ((22, 24),)
+        return ladder
     return (2, 3)
 
 
