@@ -56,7 +56,7 @@ use_lu = k >= 4  # high-k rungs run LU-from-start (config-2 finding)
 
 for name, flags in VARIANTS:
     cfg = S.SolverConfig(omega_p=100.0, omega_d=100.0, verbose=False,
-                         **flags)
+                         use_lu_schur=use_lu, **flags)
     try:
         step = S.make_fused_step(problem, cfg)
 
