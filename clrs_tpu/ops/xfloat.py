@@ -313,6 +313,27 @@ def _sc_consts(dtype):
     return up, down
 
 
+# Sparse-limb residual-deposit fix, PARTIAL (round-5 finding, BASELINE
+# round-5): the down-scale chains below squash content carried through
+# RUNS OF ZERO LIMBS into the f32 subnormal zone, costing ~72 bits
+# (3 limbs) at k >= 12 on sparse expansions (dense content is
+# unaffected).  This gate deposits the down-scale residual
+# r = s2 - (s2*down)*up — exact by Sterbenz (the operands are within
+# one rounding step) — into the deeper output limb.  Measured: add
+# tightens 2^-456 -> 2^-485 at k=22 (29 bits); mul is unchanged,
+# because the deposit `e + r` itself ROUNDS r away whenever the
+# existing error limb e is non-tiny — a complete fix must chain the
+# deposit through two_sum (d, r2 = two_sum(e, r)) and route r2 into an
+# already-finalized deeper limb, i.e. a second accumulation pass; the
+# mul cascade's group accumulation needs the same audit.  GATED
+# DEFAULT-OFF (CLRS_XF_SPARSE_FIX=1) both for that incompleteness and
+# because the Pallas _XOps and native sc_* mirrors must carry the same
+# sequence before it can default on (the cross-substrate bit-identity
+# tests compare limb streams).  tests/test_xfloat_sparse_limb.py pins
+# the default behavior.
+_SPARSE_FIX = int(_os.environ.get("CLRS_XF_SPARSE_FIX", "0"))
+
+
 def _vec_sum_sc(terms, up, down):
     """VecSum chain over level-stored terms (terms[i] at level i).
 
@@ -323,14 +344,21 @@ def _vec_sum_sc(terms, up, down):
     subnormal zone and loses its bits (found while validating Newton
     division: b*(1/b) deposits a 2^-135 residual that a shallow-level
     store rounds to 14 bits).  down() is applied only to the big hi
-    output, which is level-appropriate by construction."""
+    output, which is level-appropriate by construction — EXCEPT when a
+    run of zero limbs passes deep content through undeposited (the
+    sparse-limb floor; see _SPARSE_FIX above)."""
     n = len(terms)
     out = [None] * n
     s = terms[n - 1]  # at level n-1
     for i in range(n - 2, -1, -1):
         s2, e = two_sum(terms[i] * up, s)  # at level i+1
-        out[i + 1] = e
-        s = s2 * down  # to level i
+        if _SPARSE_FIX:
+            s_dn = _opaque(s2 * down)  # opaque: (s2*down)*up must not fold
+            out[i + 1] = e + (s2 - s_dn * up)  # deposit the squash residual
+            s = s_dn
+        else:
+            out[i + 1] = e
+            s = s2 * down  # to level i
     out[0] = s
     return out
 
@@ -341,10 +369,20 @@ def _renorm_chain_sc(vals, k: int, up, down):
     _vec_sum_sc."""
     r = []
     hi, err = two_sum(vals[0] * up, vals[1])  # at level 1
-    r.append(hi * down)  # r[0] at level 0
+    if _SPARSE_FIX:
+        hi_dn = _opaque(hi * down)
+        err = err + (hi - hi_dn * up)
+        r.append(hi_dn)  # r[0] at level 0
+    else:
+        r.append(hi * down)  # r[0] at level 0
     for i in range(2, k):
         hi, err = two_sum(err * up, vals[i])  # at level i
-        r.append(hi * down)  # r[i-1] at level i-1
+        if _SPARSE_FIX:
+            hi_dn = _opaque(hi * down)
+            err = err + (hi - hi_dn * up)
+            r.append(hi_dn)  # r[i-1] at level i-1
+        else:
+            r.append(hi * down)  # r[i-1] at level i-1
     r.append(err)  # level k-1
     return _vec_sum_sc(r, up, down)
 
